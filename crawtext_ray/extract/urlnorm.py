@@ -1,0 +1,85 @@
+"""URL normalization + scheme/extension filtering (SURVEY.md §2.2 M1/M2;
+reference crawtext: url.py).
+
+Canonicalization contract: resolve relative -> absolute against the base,
+strip the fragment, lowercase scheme+host, drop default ports, drop
+``utm_*`` tracking params (preserving remaining param order), and strip
+the trailing "/" of an empty path.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import parse_qsl, urlencode, urljoin, urlsplit, urlunsplit
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+# crawtext: url.py bad-extension list analog (M2)
+BAD_EXTENSIONS = frozenset(
+    ".jpg .jpeg .png .gif .bmp .webp .svg .ico .tif .tiff "
+    ".css .js .json .xml .rss .atom "
+    ".pdf .doc .docx .xls .xlsx .ppt .pptx .odt "
+    ".zip .gz .tgz .tar .rar .7z .bz2 "
+    ".mp3 .wav .ogg .flac .aac .m4a "
+    ".mp4 .avi .mov .wmv .flv .mkv .webm .mpg .mpeg "
+    ".exe .dmg .apk .iso .bin .swf".split()
+)
+
+ALLOWED_SCHEMES = frozenset(["http", "https"])
+
+
+def canon_url(base: str, href: str) -> str:
+    """M1: canonical absolute URL, or "" when the result is unusable."""
+    try:
+        absu = urljoin(base, href.strip()) if base else href.strip()
+        parts = urlsplit(absu)
+    except ValueError:
+        return ""
+    scheme = parts.scheme.lower()
+    if scheme not in ALLOWED_SCHEMES:
+        return ""
+    host = parts.hostname or ""
+    if not host:
+        return ""
+    host = host.lower()
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
+    path = parts.path
+    if path == "/":
+        path = ""
+    query = parts.query
+    if query:
+        kept = [(k, v) for k, v in parse_qsl(query, keep_blank_values=True)
+                if not k.lower().startswith("utm_")]
+        query = urlencode(kept)
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def has_bad_extension(url: str) -> bool:
+    """M2: media/binary extension test on the path."""
+    try:
+        path = urlsplit(url).path.lower()
+    except ValueError:
+        return True
+    dot = path.rfind(".")
+    if dot == -1:
+        return False
+    return path[dot:] in BAD_EXTENSIONS
+
+
+def is_crawlable(url: str) -> bool:
+    """M2 combined filter: http(s) scheme and no bad extension."""
+    try:
+        scheme = urlsplit(url).scheme.lower()
+    except ValueError:
+        return False
+    return scheme in ALLOWED_SCHEMES and not has_bad_extension(url)
+
+
+def domain_of(url: str) -> str:
+    """Scalar fn (SURVEY.md §2.9): lowercased host, or ""."""
+    try:
+        return (urlsplit(url).hostname or "").lower()
+    except ValueError:
+        return ""
