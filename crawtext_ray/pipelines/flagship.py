@@ -1,0 +1,117 @@
+"""The flagship pipeline (SURVEY.md §3.1): pages parquet → decode → parse
+→ adblock-filter → content-score → extract → articles, with url-hash
+repartitioning to break host-level skew and a lineage-tracked resumable
+sink (BASELINE.json:6).
+
+Partitioning model: ONE key — ``url_hash = sha1(url) % P`` — serves as
+(a) the skew-breaking repartition key before the heavy extract stage,
+(b) the output partition id, and (c) the checkpoint/resume unit. A rerun
+recomputes bucket membership deterministically from the input, filters
+out buckets whose lineage sidecar exists, and only re-extracts the rest
+(re-reading skipped buckets costs IO only, never parse/extract compute).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+
+from ..sources.pages import read_pages
+from ..stages.extract_stage import ARTICLES_SCHEMA, extract_articles
+from ..stages.partitioning import add_url_hash, keyed_repartition
+from ..state.lineage import completed_partitions, read_lineage
+
+
+def build_articles(
+    pages_path,
+    query_expression: str | None = None,
+    rule_lines: list[str] | None = None,
+    num_partitions: int = 64,
+    skew_break: bool = True,
+    batch_size: int = 64,
+    concurrency=None,
+):
+    """pages → articles Dataset (lazy; no sink). The repartition is the
+    single mandated all-to-all; everything else is a streaming map."""
+    ds = read_pages(pages_path)
+    if skew_break:
+        ds = add_url_hash(ds, num_buckets=num_partitions)
+        ds = keyed_repartition(ds, num_partitions, ["url_hash"])
+        ds = ds.drop_columns(["url_hash"])
+    return extract_articles(
+        ds,
+        rule_lines=rule_lines,
+        query_expression=query_expression,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def run_extract_job(
+    input_path,
+    out_dir: str,
+    query_expression: str | None = None,
+    rule_lines: list[str] | None = None,
+    num_partitions: int = 64,
+    batch_size: int = 64,
+    concurrency=None,
+) -> dict:
+    """Resume-aware job: extract all not-yet-completed url-hash partitions
+    and write part-/lineage- pairs under ``out_dir``. Returns a summary.
+
+    Called by ``python -m crawtext_ray.run`` (the ``ray job submit``
+    entrypoint, SURVEY.md §3.1)."""
+    from ..state.lineage import write_partitioned
+
+    t0 = time.time()
+    done = completed_partitions(out_dir)
+
+    ds = read_pages(input_path)
+    ds = add_url_hash(ds, num_buckets=num_partitions)
+    if done:
+        done_list = sorted(done)
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.invert(
+                pc.is_in(batch["url_hash"], value_set=pa.array(done_list, pa.int64()))
+            )
+            return batch.filter(mask)
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow", zero_copy_batch=True)
+    ds = keyed_repartition(ds, num_partitions, ["url_hash"])
+
+    articles = extract_articles(
+        ds,
+        rule_lines=rule_lines,
+        query_expression=query_expression,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    # carry the partition key through the extract stage
+    # (extract_articles preserves only the articles schema, so re-derive)
+    articles = add_url_hash(articles, num_buckets=num_partitions)
+    articles = articles.map_batches(
+        lambda t: t.append_column(
+            "partition_id", t["url_hash"].combine_chunks()
+        ).drop_columns(["url_hash"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    out_schema = ARTICLES_SCHEMA
+    summary_ds = write_partitioned(articles, out_dir, schema=out_schema)
+    recs = summary_ds.take_all()  # small: one row per partition
+    wall = time.time() - t0
+    total_rows = sum(r["row_count"] for r in recs)
+    return {
+        "out_dir": out_dir,
+        "partitions_written": len(recs),
+        "partitions_skipped": len(done),
+        "rows": total_rows,
+        "wall_s": round(wall, 3),
+        "rows_per_sec": round(total_rows / wall, 2) if wall > 0 else 0.0,
+        "lineage": read_lineage(out_dir)[:5],
+    }

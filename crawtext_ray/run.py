@@ -1,0 +1,73 @@
+"""CLI entrypoint (SURVEY.md §3.1): the ``ray job submit``-able driver.
+
+    python -m crawtext_ray.run --input <pages parquet dir> --out <dir> \
+        [--query '"climate" AND NOT spam'] [--partitions 64] \
+        [--rules rules.txt] [--report]
+
+Owns its Ray session (guarded init) — library code never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="crawtext_ray.run")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--query", default=None)
+    ap.add_argument("--rules", default=None, help="EasyList rules file")
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--report", action="store_true",
+                    help="print per-language report after the run")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    try:
+        from crawtext_ray.pipelines.flagship import run_extract_job
+
+        rule_lines = None
+        if args.rules:
+            with open(args.rules) as f:
+                rule_lines = f.read().splitlines()
+
+        summary = run_extract_job(
+            args.input,
+            args.out,
+            query_expression=args.query,
+            rule_lines=rule_lines,
+            num_partitions=args.partitions,
+            batch_size=args.batch_size,
+        )
+        print(json.dumps(summary))
+
+        if args.report:
+            import ray.data as rd
+
+            from crawtext_ray.stages.report import report_lang
+
+            articles = rd.read_parquet(args.out, file_extensions=["parquet"])
+            print(json.dumps({"report_lang": report_lang(articles).take_all()}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,139 @@
+"""The extraction actor-pool stage (SURVEY.md §2 M3–M9, C*, X*, F3 fused;
+BASELINE.json:6 "parser instances and compiled Adblock rule tries held in
+actor pools").
+
+``ExtractArticles`` is a callable class: all per-worker state (stopword
+tables, compiled boilerplate regexes, compiled Adblock rule index, the
+relevance query AST) is built ONCE in ``__init__``; ``__call__`` maps one
+zero-copy Arrow batch of pages to one Arrow batch of articles. Rows are
+full HTML documents, so the unit of vectorization is the document — the
+per-document tree walk is the irreducible Python kernel, everything around
+it stays Arrow.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..extract.adblock import AdblockRules, default_rules
+from ..extract.article import extract_article
+from ..extract.query import Query
+
+ARTICLES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("lang", pa.string()),
+        ("title", pa.string()),
+        ("extracted_text", pa.large_string()),
+        (
+            "meta",
+            pa.struct(
+                [
+                    ("description", pa.string()),
+                    ("keywords", pa.string()),
+                    ("lang", pa.string()),
+                    ("canonical", pa.string()),
+                ]
+            ),
+        ),
+        ("outlinks", pa.list_(pa.string())),
+        ("relevant", pa.bool_()),
+        ("status", pa.string()),
+        ("n_words", pa.int32()),
+        ("content_sha256", pa.binary()),
+    ]
+)
+
+
+class ExtractArticles:
+    """pages batch (url, warc_ts, html, lang) -> articles batch."""
+
+    def __init__(
+        self,
+        rule_lines: list[str] | None = None,
+        query_expression: str | None = None,
+        use_default_rules: bool = True,
+    ):
+        if rule_lines is not None:
+            self.rules: AdblockRules | None = AdblockRules(rule_lines)
+        elif use_default_rules:
+            self.rules = default_rules()
+        else:
+            self.rules = None
+        self.query: Query | None = (
+            Query(query_expression) if query_expression else None
+        )
+        # warm the per-language stopword caches once per actor
+        from ..extract.stopwords import KNOWN_LANGUAGES, stopword_set
+
+        for lang in KNOWN_LANGUAGES:
+            stopword_set(lang)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        langs = (
+            batch["lang"].to_pylist()
+            if "lang" in batch.column_names
+            else [None] * len(urls)
+        )
+        out: list[dict] = []
+        for url, html, lang in zip(urls, htmls, langs):
+            art = extract_article(html or b"", url or "", lang, self.rules)
+            if self.query is not None and art["status"] == "ok":
+                matched, _terms = self.query.match_with_terms(
+                    art["title"] + "\n" + art["extracted_text"]
+                )
+                relevant = matched
+            else:
+                relevant = art["status"] == "ok" and self.query is None
+            out.append(
+                {
+                    "url": url,
+                    "lang": art["lang"],
+                    "title": art["title"],
+                    "extracted_text": art["extracted_text"],
+                    "meta": {
+                        "description": art["meta_description"],
+                        "keywords": art["meta_keywords"],
+                        "lang": art["meta_lang"],
+                        "canonical": art["canonical"],
+                    },
+                    "outlinks": art["outlinks"],
+                    "relevant": relevant,
+                    "status": art["status"],
+                    "n_words": art["n_words"],
+                    "content_sha256": art["content_sha256"],
+                }
+            )
+        tbl = pa.Table.from_pylist(out, schema=ARTICLES_SCHEMA.remove(1))
+        # carry warc_ts through untouched (zero-copy column passthrough)
+        tbl = tbl.add_column(1, "warc_ts", batch["warc_ts"].combine_chunks())
+        return tbl.select([f.name for f in ARTICLES_SCHEMA])
+
+
+def extract_articles(
+    pages,
+    rule_lines: list[str] | None = None,
+    query_expression: str | None = None,
+    batch_size: int = 64,
+    concurrency=None,
+    num_cpus: float = 1,
+):
+    """Wire the actor-pool stage onto a pages Dataset.
+
+    ``batch_size`` defaults small (64) because html rows can be 100 KiB+
+    (SURVEY.md §7.4: keep a batch of html bytes ~32–64 MiB)."""
+    return pages.map_batches(
+        ExtractArticles,
+        fn_constructor_kwargs={
+            "rule_lines": rule_lines,
+            "query_expression": query_expression,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )

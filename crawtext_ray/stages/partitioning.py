@@ -1,0 +1,70 @@
+"""URL-hash partitioning to break host-level skew (SURVEY.md §4.3;
+BASELINE.json:6 "repartitioning by url-hash to break host-level skew").
+
+Common-Crawl-style dumps cluster rows by host; a hot host's heavy pages
+would otherwise land in consecutive blocks and serialize on one worker.
+``add_url_hash`` computes a stable 64-bit hash bucket per url in a
+vectorized pass; ``repartition_by_url_hash`` hash-repartitions on it
+(Ray 2.49 native ``Dataset.repartition(keys=...)``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _hash_urls(batch: pa.Table, num_buckets: int) -> pa.Table:
+    urls = batch["url"].to_pylist()
+    buckets = np.fromiter(
+        (
+            int.from_bytes(hashlib.sha1((u or "").encode("utf-8")).digest()[:8], "big")
+            % num_buckets
+            for u in urls
+        ),
+        dtype=np.int64,
+        count=len(urls),
+    )
+    return batch.append_column("url_hash", pa.array(buckets, pa.int64()))
+
+
+def add_url_hash(ds, num_buckets: int = 1024):
+    """Append a deterministic ``url_hash`` bucket column."""
+    return ds.map_batches(
+        _hash_urls,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"num_buckets": num_buckets},
+    )
+
+
+def keyed_repartition(ds, num_partitions: int, keys: list[str]):
+    """Hash-repartition by key. Ray 2.49's keyed ``repartition`` requires
+    the HASH_SHUFFLE strategy; when the session runs the (default) sort
+    shuffle we fall back to ``shuffle=True`` — rows still spread evenly
+    across partitions (the skew-breaking goal), just without key
+    co-location, and the keyed sinks (groupby) hash-partition on their
+    own."""
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    if DataContext.get_current().shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE:
+        return ds.repartition(num_partitions, keys=keys)
+    return ds.repartition(num_partitions, shuffle=True)
+
+
+def repartition_by_url_hash(ds, num_partitions: int, num_buckets: int = 1024):
+    """Hash-repartition by url so one host's pages spread across
+    partitions."""
+    ds = add_url_hash(ds, num_buckets)
+    return keyed_repartition(ds, num_partitions, ["url_hash"])
+
+
+def use_hash_shuffle() -> None:
+    """Opt the session into HASH_SHUFFLE (called by session owners:
+    bench.py, crawtext_ray.run, tests). Hash shuffle enables keyed
+    repartition and is the better strategy for our keyed groupbys."""
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE

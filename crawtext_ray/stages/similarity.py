@@ -1,0 +1,232 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``brute_force_topk``: exact cosine top-k. The query matrix is broadcast
+  once (``ray.put``) and every batch does one numpy matmul against it —
+  the baseline path and the verifier for the approximate path.
+- ``lsh_bucket_topk``: random-hyperplane LSH bucketing as the scale path:
+  vectors land in sign-pattern buckets; queries only scan their own
+  bucket (plus optional multi-probe neighbors).
+- ``embedding_dedup``: embedding-cosine near-dup via the same LSH buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    arr = col.to_pylist()
+    return np.asarray(arr, dtype=np.float32)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _BruteTopK:
+    """Per-batch partial top-k against the broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        import ray
+
+        q = ray.get(queries_ref)
+        self.qids = np.asarray(q["query_id"], dtype=np.int64)
+        self.qm = _normalize(np.asarray(q["matrix"], dtype=np.float32))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        m = _normalize(_to_matrix(batch[self.vec_col]))
+        sims = self.qm @ m.T  # (nq, nb)
+        k = min(self.k, sims.shape[1])
+        out_q, out_id, out_sim = [], [], []
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        for qi in range(sims.shape[0]):
+            for j in idx[qi]:
+                out_q.append(int(self.qids[qi]))
+                out_id.append(int(ids[j]))
+                out_sim.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(ds, queries: dict, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Exact cosine top-k. ``queries`` = {"query_id": [...], "matrix":
+    ndarray (nq, dim)}; broadcast once, matmul per batch, then a tiny
+    global reduce (partial top-k per batch → groupby query → final
+    top-k). Exchange volume: nq×k rows per batch, never the vectors."""
+    import ray
+
+    ref = ray.put(queries)
+    partials = ds.map_batches(
+        _BruteTopK,
+        fn_constructor_kwargs={
+            "queries_ref": ref, "k": k, "id_col": id_col, "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+class _LshBucket:
+    """Sign-pattern LSH bucket id per vector (stateful: the hyperplane
+    matrix is drawn once per actor from a fixed seed)."""
+
+    def __init__(self, dim: int, n_planes: int, seed: int, id_col: str, vec_col: str):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def bucket_of(self, m: np.ndarray) -> np.ndarray:
+        signs = (m @ self.planes) > 0
+        return signs @ (1 << np.arange(self.planes.shape[1], dtype=np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch[self.vec_col])
+        buckets = self.bucket_of(m)
+        return batch.append_column("lsh_bucket", pa.array(buckets, pa.int64()))
+
+
+def add_lsh_bucket(ds, dim: int, n_planes: int = 8, seed: int = 11,
+                   id_col: str = "vec_id", vec_col: str = "embedding"):
+    return ds.map_batches(
+        _LshBucket,
+        fn_constructor_kwargs={
+            "dim": dim, "n_planes": n_planes, "seed": seed,
+            "id_col": id_col, "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
+def lsh_bucket_topk(ds, queries: dict, dim: int, k: int = 10,
+                    n_planes: int = 8, seed: int = 11,
+                    id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Approximate top-k: only vectors whose LSH bucket matches the
+    query's bucket are scored. Recall trades off with n_planes; at scale
+    the bucket column doubles as the partition key so each query touches
+    one partition instead of the full corpus."""
+    bucketed = add_lsh_bucket(ds, dim, n_planes, seed, id_col, vec_col)
+    hasher = _LshBucket(dim, n_planes, seed, id_col, vec_col)
+    qm = _normalize(np.asarray(queries["matrix"], dtype=np.float32))
+    qbuckets = hasher.bucket_of(qm)
+    wanted = {int(b) for b in qbuckets}
+
+    filtered = bucketed.map_batches(
+        lambda t: t.filter(
+            pa.array([int(b) in wanted for b in t["lsh_bucket"].to_pylist()], pa.bool_())
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    q_by_bucket = {
+        "query_id": queries["query_id"],
+        "matrix": queries["matrix"],
+        "buckets": [int(b) for b in qbuckets],
+    }
+    import ray
+
+    ref = ray.put(q_by_bucket)
+
+    class BucketTopK(_BruteTopK):
+        def __init__(self):
+            super().__init__(ref, k, id_col, vec_col)
+            q = ray.get(ref)
+            self.qbuckets = np.asarray(q["buckets"], dtype=np.int64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            m = _normalize(_to_matrix(batch[vec_col]))
+            vb = np.asarray(batch["lsh_bucket"].to_pylist(), dtype=np.int64)
+            sims = self.qm @ m.T
+            # mask out vectors from other buckets per query
+            mask = self.qbuckets[:, None] == vb[None, :]
+            sims = np.where(mask, sims, -2.0)
+            kk = min(k, sims.shape[1])
+            out_q, out_id, out_sim = [], [], []
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            for qi in range(sims.shape[0]):
+                for j in idx[qi]:
+                    if sims[qi, j] > -2.0:
+                        out_q.append(int(self.qids[qi]))
+                        out_id.append(int(ids[j]))
+                        out_sim.append(float(sims[qi, j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_id, pa.int64()),
+                    "cosine": pa.array(out_sim, pa.float64()),
+                }
+            )
+
+    partials = filtered.map_batches(
+        BucketTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def embedding_dedup(ds, dim: int, threshold: float = 0.97, n_planes: int = 12,
+                    seed: int = 11, id_col: str = "vec_id",
+                    vec_col: str = "embedding"):
+    """Embedding-cosine near-dup: LSH-bucket vectors, then inside each
+    bucket compute the pairwise cosine matrix and link ids above the
+    threshold to the bucket's min id. Buckets are small by construction
+    (2^n_planes partitions), so the per-group O(b²) matmul is bounded."""
+    bucketed = add_lsh_bucket(ds, dim, n_planes, seed, id_col, vec_col)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({id_col: [], "rep_id": [], "cosine": []}).astype(
+                {id_col: "int64", "rep_id": "int64", "cosine": "float64"}
+            )
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        m = _normalize(np.asarray(list(g[vec_col]), dtype=np.float32))
+        sims = m @ m.T
+        order = np.argsort(ids, kind="stable")
+        out_i, out_r, out_s = [], [], []
+        for pos in order:
+            # link to the smallest id that is similar enough
+            cand = np.where(sims[pos] >= threshold)[0]
+            cand_ids = ids[cand]
+            smaller = cand_ids[cand_ids < ids[pos]]
+            if smaller.size:
+                rep = int(smaller.min())
+                out_i.append(int(ids[pos]))
+                out_r.append(rep)
+                out_s.append(float(sims[pos][ids.tolist().index(rep)]))
+        return pd.DataFrame({id_col: out_i, "rep_id": out_r, "cosine": out_s})
+
+    return bucketed.groupby("lsh_bucket").map_groups(bucket_pairs, batch_format="pandas")
