@@ -1,44 +1,339 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship extraction pipeline; ``queries()`` exposes
+one callable per implemented operator from SURVEY.md §2 (plus the
+training-data operator set); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for every SQL-expressible query (same column names; integer/string
+outputs so value hashes are bit-stable). Ray is initialised by the driver
+before import — nothing here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_FIXTURE_ROOT = "/tmp/crawtext_ray_fixtures"
+
+
+def _pages_dir(sf_dir: str) -> str:
+    """Deterministic synthetic pages table (FIXTURES.md §B) — the input
+    shape mandated by BASELINE.json:15, synthesized at small scale and
+    cached under /tmp (driver testdata has no pages-shaped table)."""
+    from fixtures.gen_pages import generate
+
+    name = "mid" if sf_dir.rstrip("/").endswith("sf0.1") else "small"
+    os.makedirs(_FIXTURE_ROOT, exist_ok=True)
+    return generate(_FIXTURE_ROOT, name)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (SURVEY.md §3.1): synthetic Common-Crawl-style
+    pages → decode → adblock → score → extract → articles. Smoke scale:
+    1000 pages; also touches /root/testdata/sf0.001 (doc lang report
+    parity input)."""
+    import ray.data as rd
+
+    from crawtext_ray.pipelines.flagship import build_articles
+
+    # touch the driver's sf0.001 documents table (schema sanity)
+    rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                    columns=["lang"]).count()
+
+    pages = _pages_dir("/root/testdata/sf0.001")
+    articles = build_articles(pages, num_partitions=8, concurrency=4)
+    return articles.select_columns(
+        ["url", "lang", "title", "status", "n_words", "relevant"]
+    )
+
+
+# --------------------------------------------------------------------------
+
+
+def _q_extract_articles(sf_dir: str):
+    from crawtext_ray.pipelines.flagship import build_articles
+
+    arts = build_articles(_pages_dir(sf_dir), num_partitions=8, concurrency=4)
+    return arts.select_columns(["url", "lang", "title", "status", "n_words"])
+
+
+def _q_extract_report_lang(sf_dir: str):
+    from crawtext_ray.pipelines.flagship import build_articles
+    from crawtext_ray.stages.report import report_lang
+
+    return report_lang(build_articles(_pages_dir(sf_dir), num_partitions=8,
+                                      concurrency=4))
+
+
+def _q_extract_report_status(sf_dir: str):
+    from crawtext_ray.pipelines.flagship import build_articles
+    from crawtext_ray.stages.report import report_status
+
+    return report_status(build_articles(_pages_dir(sf_dir), num_partitions=8,
+                                        concurrency=4))
+
+
+def _q_top_domains_pages(sf_dir: str):
+    from crawtext_ray.pipelines.flagship import build_articles
+    from crawtext_ray.stages.report import top_domains
+
+    return top_domains(
+        build_articles(_pages_dir(sf_dir), num_partitions=8, concurrency=4), k=10
+    )
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data as rd
+
+    from crawtext_ray.stages.textops import text_features
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return text_features(docs).select_columns(["doc_id", "pred_lang"])
+
+
+def _q_text_features(sf_dir: str):
+    import ray.data as rd
+
+    from crawtext_ray.stages.textops import text_features
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return text_features(docs)
+
+
+def _q_relevance(sf_dir: str):
+    import ray.data as rd
+
+    from crawtext_ray.stages.textops import relevance_filter
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = relevance_filter(docs, '(data OR spark) AND NOT slow')
+    return out.select_columns(["doc_id"])
+
+
+def _q_exact_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from crawtext_ray.stages.dedup import exact_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return exact_dedup(docs).select_columns(["doc_id"])
+
+
+def _q_minhash_dups(sf_dir: str):
+    import ray.data as rd
+
+    from crawtext_ray.stages.dedup import minhash_lsh_duplicates
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return minhash_lsh_duplicates(docs, shingle_k=3)
+
+
+def _q_simhash_dups(sf_dir: str):
+    import ray.data as rd
+
+    from crawtext_ray.stages.dedup import simhash_duplicates
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return simhash_duplicates(docs)
+
+
+def _q_embedding_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from crawtext_ray.stages.similarity import embedding_dedup
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.take(1)[0]["embedding"])
+    return embedding_dedup(emb, dim=dim, threshold=0.95)
+
+
+def _q_ann_lsh(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawtext_ray.stages.similarity import lsh_bucket_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qdf = qt.filter(pa.compute.less(qt["vec_id"], pa.scalar(3))).to_pandas()
+    queries = {
+        "query_id": qdf["vec_id"].tolist(),
+        "matrix": np.asarray(list(qdf["embedding"]), dtype=np.float32),
+    }
+    dim = queries["matrix"].shape[1]
+    return lsh_bucket_topk(emb, queries, dim=dim, k=10)
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing: documents.text bytes as fake binary payloads
+    → decode/feature actor stage (decode kernel stubbed: no image libs)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawtext_ray.stages.multimodal import decode_image_features
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch["doc_id"],
+                "payload": pa.array(
+                    [(t or "").encode() for t in batch["text"].to_pylist()],
+                    pa.binary(),
+                ),
+                "mime": pa.array(["image/fake"] * batch.num_rows, pa.string()),
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    return decode_image_features(media, decode="fake", batch_size=64)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from crawtext_ray.stages import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # A1/A2/T1/U2 reports + distinct (oracle-checked)
+        "report_lang": R.report_lang_docs,
+        "report_source": R.report_source_docs,
+        "top_sources": R.top_sources,
+        "distinct_langs": R.distinct_langs,
+        # J2 dedup + filters (oracle-checked)
+        "dedup_events_first": R.dedup_events_first,
+        "filter_events": R.filter_events,
+        # scalar fns (oracle-checked)
+        "word_counts": R.word_counts_docs,
+        "quality_ints": R.quality_ints_docs,
+        "json_extract": R.json_extract_events,
+        "date_buckets": R.date_buckets_events,
+        "window_hourly": R.window_hourly_events,
+        "user_event_stats": R.user_event_stats,
+        # joins (oracle-checked)
+        "orders_by_segment": R.orders_by_segment_broadcast,
+        "orders_join_native": R.orders_join_native,
+        # lineitem scans (oracle-checked)
+        "q1_counts": R.q1_counts_lineitem,
+        "shipped_before": R.shipped_before,
+        # similarity (oracle-checked exact; approximate is rows-only)
+        "embedding_topk": R.embedding_topk_exact,
+        "ann_lsh_topk": _q_ann_lsh,
+        "embedding_dedup": _q_embedding_dedup,
+        # dedup family over documents (exact oracle-checked; near-dup rows-only)
+        "exact_dedup_docs": _q_exact_dedup,
+        "minhash_dups_docs": _q_minhash_dups,
+        "simhash_dups_docs": _q_simhash_dups,
+        # text analysis (relevance oracle-checked; heuristics rows-only)
+        "relevance_match": _q_relevance,
+        "lang_id_docs": _q_lang_id,
+        "text_features_docs": _q_text_features,
+        # multimodal plumbing (rows-only; decode stubbed)
+        "media_features": _q_media_features,
+        # flagship extraction over synthetic pages (rows-only: non-SQL)
+        "extract_articles": _q_extract_articles,
+        "extract_report_lang": _q_extract_report_lang,
+        "extract_report_status": _q_extract_report_status,
+        "top_domains_pages": _q_top_domains_pages,
+    }
+
+
+def _en_stopword_list_sql() -> str:
+    from crawtext_ray.extract.stopwords import stopword_set
+
+    words = sorted(stopword_set("en"))
+    return ", ".join("'" + w + "'" for w in words)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en_sw = _en_stopword_list_sql()
+    return {
+        "report_lang": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "report_source": "SELECT source, count(*) AS n_docs FROM documents GROUP BY source",
+        "top_sources": (
+            "SELECT source, count(*) AS n_docs FROM documents "
+            "GROUP BY source ORDER BY n_docs DESC, source LIMIT 5"
+        ),
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "dedup_events_first": (
+            "SELECT user_id, event_id, event_type FROM ("
+            "  SELECT user_id, event_id, event_type,"
+            "         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn"
+            "  FROM events) WHERE rn = 1"
+        ),
+        "filter_events": (
+            "SELECT event_id FROM events "
+            "WHERE event_type = 'click' AND value >= 50.0"
+        ),
+        "word_counts": (
+            r"SELECT doc_id, length(regexp_extract_all(text, '\S+')) AS n_words, "
+            r"length(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_tokens "
+            "FROM documents"
+        ),
+        "quality_ints": (
+            "WITH t AS (SELECT doc_id, text, "
+            "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
+            "FROM documents) "
+            "SELECT doc_id, length(text) AS n_chars_calc, "
+            r"length(regexp_extract_all(text, '\S+')) AS n_words, "
+            r"length(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS n_punct, "
+            f"length(list_filter(toks, x -> x IN ({en_sw}))) AS n_stop "
+            "FROM t"
+        ),
+        "json_extract": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val "
+            "FROM events"
+        ),
+        "date_buckets": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events "
+            "FROM events GROUP BY 1"
+        ),
+        "window_hourly": (
+            "SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start, "
+            "count(*) AS n_events FROM events GROUP BY 1, 2"
+        ),
+        "user_event_stats": (
+            "SELECT user_id, count(*) AS n_events, min(event_id) AS min_event_id, "
+            "max(event_id) AS max_event_id FROM events GROUP BY user_id"
+        ),
+        "orders_by_segment": (
+            "SELECT c_mktsegment, count(*) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY 1"
+        ),
+        "orders_join_native": (
+            "SELECT o_orderpriority, c_mktsegment, count(*) AS n FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2"
+        ),
+        "q1_counts": (
+            "SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, "
+            "count(*) AS count_order FROM lineitem GROUP BY 1, 2"
+        ),
+        "shipped_before": (
+            "SELECT l_orderkey, l_linenumber FROM lineitem "
+            "WHERE l_shipdate < TIMESTAMP '1996-01-01'"
+        ),
+        "embedding_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3), "
+            "s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim "
+            "      FROM q CROSS JOIN embeddings e), "
+            "r AS (SELECT query_id, vec_id, "
+            '      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS "rank" FROM s) '
+            'SELECT query_id, vec_id, "rank" FROM r WHERE "rank" <= 10'
+        ),
+        "relevance_match": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_split_to_array(lower(text), '[^a-z0-9]+') AS toks FROM documents) "
+            "SELECT doc_id FROM t WHERE (list_contains(toks, 'data') OR "
+            "list_contains(toks, 'spark')) AND NOT list_contains(toks, 'slow')"
+        ),
+        "exact_dedup_docs": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+    }

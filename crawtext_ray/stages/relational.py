@@ -1,0 +1,310 @@
+"""Relational / dataflow operators over the driver's testdata tables
+(SURVEY.md §2.8–§2.9). Each function here backs a ``__ray_entry__``
+queries() entry with a matching DuckDB oracle; outputs avoid raw floats
+so value-hash comparisons are bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min
+
+from .dedup import first_by
+
+
+def _docs(sf_dir: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _events(sf_dir: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+# --- A1/A2 grouped counts -------------------------------------------------
+
+
+def report_lang_docs(sf_dir: str):
+    """A1: per-language doc counts (crawtext report analog)."""
+    return _docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def report_source_docs(sf_dir: str):
+    """A2/A3: grouped counts on the source column."""
+    return _docs(sf_dir, ["source"]).groupby("source").aggregate(
+        Count(alias_name="n_docs")
+    )
+
+
+def top_sources(sf_dir: str, k: int = 5):
+    """T1: top-k sources by count; deterministic tie-break on source."""
+    agg = report_source_docs(sf_dir)
+    return agg.sort(["n_docs", "source"], descending=[True, False]).limit(k)
+
+
+def distinct_langs(sf_dir: str):
+    """U2-adjacent: distinct values of one column."""
+    vals = sorted(v for v in _docs(sf_dir, ["lang"]).unique("lang"))
+    return pa.table({"lang": pa.array(vals, pa.string())})
+
+
+# --- J2 dedup / filters ---------------------------------------------------
+
+
+def dedup_events_first(sf_dir: str):
+    """J2: first event per user (min ts, tie min event_id)."""
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+    out = first_by(ds, "user_id", "ts", "event_id")
+    return out.select_columns(["user_id", "event_id", "event_type"])
+
+
+def filter_events(sf_dir: str, event_type: str = "click", min_value: float = 50.0):
+    """M2-analog vectorized filter (arrow compute predicate)."""
+    import pyarrow.compute as pc
+
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.equal(t["event_type"], pa.scalar(event_type)),
+                pc.greater_equal(t["value"], pa.scalar(min_value)),
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).select_columns(["event_id"])
+
+
+# --- scalar fns: counts, json, dates -------------------------------------
+
+
+def word_counts_docs(sf_dir: str):
+    """M9: whitespace word count + BPE-ish token count per doc."""
+    import re
+
+    ws = re.compile(r"\S+")
+    bpe = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array([len(ws.findall(t or "")) for t in texts], pa.int64()),
+                "n_tokens": pa.array([len(bpe.findall(t or "")) for t in texts], pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def quality_ints_docs(sf_dir: str):
+    """Quality-feature integers (ASCII contracts; see oracle): chars,
+    words, punctuation marks, English-stopword hits."""
+    import re
+
+    from ..extract.stopwords import stopword_set
+
+    ws = re.compile(r"\S+")
+    punct = re.compile(r"[^A-Za-z0-9_\s]")
+    word = re.compile(r"[a-z0-9]+")
+    sw = stopword_set("en")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars_calc": pa.array([len(t) for t in texts], pa.int64()),
+                "n_words": pa.array([len(ws.findall(t)) for t in texts], pa.int64()),
+                "n_punct": pa.array([len(punct.findall(t)) for t in texts], pa.int64()),
+                "n_stop": pa.array(
+                    [sum(1 for w in word.findall(t.lower()) if w in sw) for t in texts],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def json_extract_events(sf_dir: str):
+    """§2.9 json_extract over events.props."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = []
+        for p in batch["props"].to_pylist():
+            try:
+                v = json.loads(p).get("k")
+                vals.append(int(v) if v is not None else None)
+            except (ValueError, TypeError):
+                vals.append(None)
+        return pa.table({"event_id": batch["event_id"], "k_val": pa.array(vals, pa.int64())})
+
+    return _events(sf_dir, ["event_id", "props"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def date_buckets_events(sf_dir: str):
+    """§2.9 date bucketing: events per day."""
+
+    def add_day(df: pd.DataFrame) -> pd.DataFrame:
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        return df[["day"]]
+
+    ds = _events(sf_dir, ["ts"]).map_batches(add_day, batch_format="pandas")
+    return ds.groupby("day").aggregate(Count(alias_name="n_events"))
+
+
+def window_hourly_events(sf_dir: str):
+    """Streaming-shaped tumbling window: per (user, hour) event counts —
+    the windowed-aggregate custom op expressed as map_batches + groupby."""
+
+    def add_window(df: pd.DataFrame) -> pd.DataFrame:
+        df["window_start"] = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00")
+        return df[["user_id", "window_start"]]
+
+    ds = _events(sf_dir, ["user_id", "ts"]).map_batches(add_window, batch_format="pandas")
+    return ds.groupby(["user_id", "window_start"]).aggregate(Count(alias_name="n_events"))
+
+
+def user_event_stats(sf_dir: str):
+    """A4-analog multi-aggregate per user (all integer outputs)."""
+    return (
+        _events(sf_dir, ["user_id", "event_id"])
+        .groupby("user_id")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min("event_id", alias_name="min_event_id"),
+            Max("event_id", alias_name="max_event_id"),
+        )
+    )
+
+
+# --- joins ----------------------------------------------------------------
+
+
+def orders_by_segment_broadcast(sf_dir: str):
+    """J3: broadcast small-side join (customer dim shipped once via
+    ray.put, dict lookup per batch — no shuffle), then grouped count."""
+    cust = (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+        .to_pandas()
+    )
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class Attach:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            segs = [self.lookup.get(k) for k in batch["o_custkey"].to_pylist()]
+            t = pa.table({"c_mktsegment": pa.array(segs, pa.string())})
+            # inner-join semantics: drop orders with no matching customer
+            return t.filter(pa.compute.is_valid(t["c_mktsegment"]))
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    ds = ds.map_batches(Attach, batch_format="pyarrow", zero_copy_batch=True,
+                        concurrency=(1, 4))
+    return ds.groupby("c_mktsegment").aggregate(Count(alias_name="n_orders"))
+
+
+def orders_join_native(sf_dir: str, num_partitions: int = 8):
+    """Large-side hash join via Dataset.join (Ray 2.49 native), grouped by
+    (priority, segment). The broadcast variant above is the scale path for
+    small dims; this exercises the shuffling join."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    return joined.groupby(["o_orderpriority", "c_mktsegment"]).aggregate(
+        Count(alias_name="n")
+    )
+
+
+# --- lineitem (wide-table scan + pruned read) -----------------------------
+
+
+def q1_counts_lineitem(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate with integer-stable outputs:
+    grouped row counts + exact quantity sums (l_quantity is
+    integer-valued in TPC-H)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(sum_qty=("l_quantity", "sum"), count_order=("l_quantity", "size"))
+        )
+        g["sum_qty"] = g["sum_qty"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # partial aggregate inside map_batches, then a tiny final groupby —
+    # the pre-aggregation pattern that keeps the shuffle at O(keys)
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+
+def shipped_before(sf_dir: str, cutoff: str = "1996-01-01"):
+    """Pruned + predicate-pushdown read: row-group filter at the scan."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_shipdate"],
+        filter=(pc.field("l_shipdate") < pa.scalar(pd.Timestamp(cutoff))),
+    )
+    return ds.select_columns(["l_orderkey", "l_linenumber"])
+
+
+# --- embeddings -----------------------------------------------------------
+
+
+def embedding_topk_exact(sf_dir: str, k: int = 10, n_queries: int = 3):
+    """Brute-force cosine top-k (float64 to match the DuckDB oracle);
+    output (query_id, vec_id, rank) — ints only, ties broken by vec_id."""
+    from .similarity import brute_force_topk
+
+    import pyarrow.parquet as pq
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")  # driver-side tiny read
+    qdf = (
+        qt.filter(pa.compute.less(qt["vec_id"], pa.scalar(n_queries)))
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = {
+        "query_id": qdf["vec_id"].tolist(),
+        "matrix": np.asarray(list(qdf["embedding"]), dtype=np.float64),
+    }
+    out = brute_force_topk(emb, queries, k=k)
+    return out.select_columns(["query_id", "vec_id", "rank"])

@@ -35,14 +35,15 @@ class _BruteTopK:
 
         q = ray.get(queries_ref)
         self.qids = np.asarray(q["query_id"], dtype=np.int64)
-        self.qm = _normalize(np.asarray(q["matrix"], dtype=np.float32))
+        # float64 so the exact path bit-matches a double-precision oracle
+        self.qm = _normalize(np.asarray(q["matrix"], dtype=np.float64))
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
-        m = _normalize(_to_matrix(batch[self.vec_col]))
+        m = _normalize(np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64))
         sims = self.qm @ m.T  # (nq, nb)
         k = min(self.k, sims.shape[1])
         out_q, out_id, out_sim = [], [], []
