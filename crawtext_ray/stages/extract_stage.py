@@ -118,7 +118,7 @@ def extract_articles(
     rule_lines: list[str] | None = None,
     query_expression: str | None = None,
     batch_size: int = 64,
-    concurrency=None,
+    concurrency=(1, 8),
     num_cpus: float = 1,
 ):
     """Wire the actor-pool stage onto a pages Dataset.

@@ -1,0 +1,141 @@
+"""End-to-end flagship pipeline vs generator ground truth (SURVEY.md §5.2
+layer 3): status/lang counts, dedup, lineage resume, idempotence."""
+
+import collections
+import shutil
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def articles_df(ray_session, pages_small):
+    from crawtext_ray.pipelines.flagship import build_articles
+
+    arts = build_articles(pages_small, num_partitions=4, concurrency=2)
+    return arts.to_pandas()
+
+
+def test_row_counts_match_input(articles_df, truth_small):
+    assert len(articles_df) == len(truth_small)
+
+
+def test_status_vs_truth(articles_df, truth_small):
+    merged = articles_df.merge(
+        truth_small.drop_duplicates("url"), on="url", how="left"
+    )
+    checkable = merged[merged["expected_status"] != "any"]
+    # duplicates share a url with their original; statuses still comparable
+    mismatch = checkable[checkable["status"] != checkable["expected_status"]]
+    assert len(mismatch) == 0, mismatch[["url", "status", "expected_status"]].head()
+
+
+def test_lang_report_vs_truth(ray_session, pages_small, truth_small):
+    from crawtext_ray.pipelines.flagship import build_articles
+    from crawtext_ray.stages.report import report_lang
+
+    arts = build_articles(pages_small, num_partitions=4, concurrency=2)
+    got = {
+        r["lang"]: r["n_docs"] for r in report_lang(arts).take_all()
+    }
+    exp = collections.Counter(truth_small["expected_lang"])
+    # articles keep the input lang column (M8 honors it)
+    assert got == dict(exp)
+
+
+def test_extracted_text_nonempty_for_ok(articles_df):
+    ok = articles_df[articles_df["status"] == "ok"]
+    assert (ok["n_words"] > 0).all()
+    assert (ok["extracted_text"].str.len() > 0).all()
+    # X10 contract: no leading/trailing whitespace, LF-only paragraph joins
+    assert not ok["extracted_text"].str.contains("\r").any()
+    assert (ok["extracted_text"] == ok["extracted_text"].str.strip()).all()
+
+
+def test_blocked_pages_blocked(articles_df, truth_small):
+    blocked_urls = set(truth_small[truth_small["is_blocked"]]["url"])
+    got = articles_df[articles_df["url"].isin(blocked_urls)]
+    assert (got["status"] == "blocked").all()
+    assert len(got) == len(blocked_urls.intersection(set(articles_df["url"])))
+
+
+def test_dedup_first_by_ts(ray_session, pages_small, truth_small):
+    import ray.data as rd
+
+    from crawtext_ray.stages.dedup import first_by
+
+    pages = rd.read_parquet(pages_small, columns=["url", "warc_ts"])
+    deduped = first_by(pages, "url", "warc_ts").to_pandas()
+    n_dups = int(truth_small["is_duplicate"].sum())
+    assert len(deduped) == len(truth_small) - n_dups
+    assert deduped["url"].is_unique
+
+
+def test_idempotence_identical_bytes(ray_session, pages_small):
+    """Permutation/idempotence property: two runs produce identical
+    per-url extracted bytes."""
+    from crawtext_ray.pipelines.flagship import build_articles
+
+    a = (
+        build_articles(pages_small, num_partitions=4, concurrency=2)
+        .to_pandas()[["url", "content_sha256"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    b = (
+        build_articles(pages_small, num_partitions=2, concurrency=2)
+        .to_pandas()[["url", "content_sha256"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    # different partitioning, same bytes
+    assert a.equals(b)
+
+
+def test_lineage_resume(ray_session, pages_small, tmp_path):
+    from crawtext_ray.pipelines.flagship import run_extract_job
+    from crawtext_ray.state.lineage import completed_partitions, read_lineage
+
+    out = str(tmp_path / "out")
+    s1 = run_extract_job(pages_small, out, num_partitions=4, concurrency=2)
+    assert s1["partitions_written"] == 4
+    assert s1["rows"] == 1000
+    recs = read_lineage(out)
+    assert all(r["checksum"] for r in recs)
+    assert sum(r["row_count"] for r in recs) == 1000
+
+    # simulate a failed partition: delete one data file + its sidecar
+    import os
+
+    os.remove(f"{out}/part-00002.parquet")
+    os.remove(f"{out}/lineage-00002.json")
+    assert completed_partitions(out) == {0, 1, 3}
+
+    s2 = run_extract_job(pages_small, out, num_partitions=4, concurrency=2)
+    assert s2["partitions_skipped"] == 3
+    assert s2["partitions_written"] == 1
+    # full output restored, checksum of the re-done partition unchanged
+    recs2 = read_lineage(out)
+    assert sum(r["row_count"] for r in recs2) == 1000
+    assert recs2 == sorted(recs2, key=lambda r: r["partition_id"])
+    c1 = {r["partition_id"]: r["checksum"] for r in recs}
+    c2 = {r["partition_id"]: r["checksum"] for r in recs2}
+    assert c1 == c2
+
+
+def test_relevance_query_filters(ray_session, pages_small):
+    from crawtext_ray.pipelines.flagship import build_articles
+
+    arts = build_articles(
+        pages_small,
+        query_expression="market OR marché OR markt OR mercado",
+        num_partitions=4,
+        concurrency=2,
+    ).to_pandas()
+    ok = arts[arts["status"] == "ok"]
+    rel = ok[ok["relevant"]]
+    assert 0 < len(rel) < len(ok)
+    # every relevant page indeed contains one of the terms as a token
+    sample = rel.head(20)
+    for _, row in sample.iterrows():
+        text = (row["title"] + "\n" + row["extracted_text"]).lower()
+        assert any(w in text for w in ("market", "marché", "markt", "mercado"))

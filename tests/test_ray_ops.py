@@ -1,0 +1,175 @@
+"""Dedup / similarity / multimodal / frontier operators on small planted
+datasets (the training-data operator set)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def docs_with_dups(ray_session):
+    import ray.data as rd
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain in "
+        "spain stays mainly in the plain and the cat sat on the mat "
+    ) * 3
+    vocab = [f"w{j}" for j in range(400)]
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(20):
+        words = rng.choice(vocab, size=60, replace=True)
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    # planted near-dups: 100/101 near-identical, 102 exact copy of 100
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base.replace("lazy", "sleepy", 1)})
+    rows.append({"doc_id": 102, "text": base})
+    return rd.from_items(rows)
+
+
+def test_exact_dedup(docs_with_dups):
+    from crawtext_ray.stages.dedup import exact_dedup
+
+    kept = exact_dedup(docs_with_dups).to_pandas()
+    ids = set(kept["doc_id"])
+    assert 100 in ids and 102 not in ids
+    assert len(kept) == 22  # 23 rows - 1 exact dup
+
+
+def test_minhash_lsh_finds_planted_pair(docs_with_dups):
+    from crawtext_ray.stages.dedup import minhash_lsh_duplicates
+
+    pairs = minhash_lsh_duplicates(docs_with_dups, shingle_k=3).to_pandas()
+    linked = {(int(r["doc_id"]), int(r["rep_id"])) for _, r in pairs.iterrows()}
+    assert (102, 100) in linked
+    assert (101, 100) in linked
+
+
+def test_jaccard_verify(ray_session, docs_with_dups):
+    from crawtext_ray.stages.dedup import (
+        minhash_lsh_duplicates,
+        ngram_jaccard,
+        verify_pairs_jaccard,
+    )
+
+    assert ngram_jaccard("a b c d e f", "a b c d e f", 3) == 1.0
+    docs = {r["doc_id"]: r["text"] for r in docs_with_dups.take_all()}
+    pairs = minhash_lsh_duplicates(docs_with_dups, shingle_k=3)
+    verified = verify_pairs_jaccard(pairs, docs, k=3, threshold=0.8).to_pandas()
+    vids = set(verified["doc_id"])
+    assert 102 in vids and 101 in vids
+
+
+def test_simhash_duplicates(docs_with_dups):
+    from crawtext_ray.stages.dedup import simhash_duplicates
+
+    pairs = simhash_duplicates(docs_with_dups).to_pandas()
+    linked = {(int(r["doc_id"]), int(r["rep_id"])) for _, r in pairs.iterrows()}
+    assert (102, 100) in linked  # identical text -> identical simhash
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from crawtext_ray.stages.similarity import brute_force_topk
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(200)]
+    )
+    queries = {"query_id": [0, 1], "matrix": vecs[:2].astype(np.float64)}
+    got = brute_force_topk(ds, queries, k=5).to_pandas()
+
+    # numpy reference
+    m = vecs.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qid in (0, 1):
+        sims = m @ m[qid]
+        exp = np.argsort(-sims, kind="stable")[:5]
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        assert list(sub["vec_id"]) == list(exp)
+        assert list(sub["rank"]) == [1, 2, 3, 4, 5]
+        assert sub.iloc[0]["vec_id"] == qid  # self is nearest
+
+
+def test_lsh_topk_self_found(ray_session):
+    import ray.data as rd
+
+    from crawtext_ray.stages.similarity import lsh_bucket_topk
+
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(300)]
+    )
+    queries = {"query_id": [5], "matrix": vecs[5:6]}
+    got = lsh_bucket_topk(ds, queries, dim=16, k=3).to_pandas()
+    assert int(got.sort_values("rank").iloc[0]["vec_id"]) == 5
+
+
+def test_embedding_dedup_finds_copies(ray_session):
+    import ray.data as rd
+
+    from crawtext_ray.stages.similarity import embedding_dedup
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(50)]
+    rows.append({"vec_id": 200, "embedding": vecs[7].tolist()})  # exact copy
+    got = embedding_dedup(rd.from_items(rows), dim=8, threshold=0.99).to_pandas()
+    linked = {(int(r["vec_id"]), int(r["rep_id"])) for _, r in got.iterrows()}
+    assert (200, 7) in linked
+
+
+def test_multimodal_fake_decode_and_stub(ray_session):
+    import ray.data as rd
+
+    from crawtext_ray.stages.multimodal import (
+        DecodeImageFeatures,
+        decode_image_features,
+        sample_frames,
+    )
+
+    media = rd.from_items(
+        [
+            {"media_id": i, "payload": bytes([i]) * (1024 * (i + 1)), "mime": "image/fake"}
+            for i in range(5)
+        ]
+    )
+    feats = decode_image_features(media).to_pandas()
+    assert len(feats) == 5
+    assert (feats["n_bytes"] > 0).all()
+    assert feats["sha256"].is_unique
+    assert ((feats["width"] >= 64) & (feats["width"] < 256)).all()
+
+    frames = sample_frames(media, every_n=2).to_pandas()
+    assert (frames.groupby("media_id").size() > 0).all()
+
+    with pytest.raises(NotImplementedError):
+        DecodeImageFeatures(decode="real")(
+            __import__("pyarrow").table({"media_id": [1], "payload": [b"x"]})
+        )
+
+
+def test_bfs_crawl_rounds(ray_session, pages_small):
+    import ray.data as rd
+
+    from crawtext_ray.stages.frontier import bfs_crawl
+
+    pages = rd.read_parquet(pages_small)
+    seeds = [r["url"] for r in pages.take(3)]
+    rounds, seen = bfs_crawl(pages, seeds, max_depth=1)
+    assert 1 <= len(rounds) <= 2
+    assert rounds[0].count() >= 1
+    assert set(seeds).issubset(seen)
+
+
+def test_anti_join_grouped(ray_session):
+    import ray.data as rd
+
+    from crawtext_ray.stages.frontier import anti_join_grouped
+
+    new = rd.from_items([{"url": f"u{i}"} for i in range(10)])
+    seen = rd.from_items([{"url": f"u{i}"} for i in range(0, 10, 2)])
+    out = anti_join_grouped(new, seen)
+    assert sorted(r["url"] for r in out.take_all()) == [f"u{i}" for i in range(1, 10, 2)]
