@@ -4,11 +4,17 @@ repartitioning to break host-level skew and a lineage-tracked resumable
 sink (BASELINE.json:6).
 
 Partitioning model: ONE key — ``url_hash = sha1(url) % P`` — serves as
-(a) the skew-breaking repartition key before the heavy extract stage,
-(b) the output partition id, and (c) the checkpoint/resume unit. A rerun
-recomputes bucket membership deterministically from the input, filters
-out buckets whose lineage sidecar exists, and only re-extracts the rest
-(re-reading skipped buckets costs IO only, never parse/extract compute).
+(a) the output partition id and (b) the checkpoint/resume unit; the keyed
+all-to-all happens once, at the partitioned sink, over extracted articles
+(~5x smaller than the raw html). Host-level skew at the extract stage is
+broken the streaming way — shuffled file order + randomized block order +
+a dynamic actor pool — because a pre-extract url-hash repartition of raw
+html measured 3.5–5x the cost of the entire extraction (see
+stages/partitioning.py); the keyed form remains available via
+``build_articles(skew_break="repartition")``. A rerun recomputes bucket
+membership deterministically from the input, filters out buckets whose
+lineage sidecar exists, and only re-extracts the rest (re-reading skipped
+buckets costs IO only, never parse/extract compute).
 """
 
 from __future__ import annotations
@@ -30,15 +36,26 @@ def build_articles(
     num_partitions: int = 64,
     skew_break: bool = True,
     batch_size: int = 64,
-    concurrency=None,
+    concurrency=(1, 8),
 ):
-    """pages → articles Dataset (lazy; no sink). The repartition is the
-    single mandated all-to-all; everything else is a streaming map."""
-    ds = read_pages(pages_path)
-    if skew_break:
+    """pages → articles Dataset (lazy; no sink).
+
+    ``skew_break``: True (default) = zero-cost streaming skew break
+    (shuffled file order + randomized block order; see
+    partitioning.streaming_skew_break for the measurements);
+    "repartition" = full url-hash keyed repartition before extraction
+    (pays an all-to-all of raw html — only worth it when a downstream
+    stage needs key co-location pre-extract)."""
+    from ..stages.partitioning import streaming_skew_break
+
+    ds = read_pages(pages_path,
+                    shuffle="files" if skew_break else None)
+    if skew_break == "repartition":
         ds = add_url_hash(ds, num_buckets=num_partitions)
         ds = keyed_repartition(ds, num_partitions, ["url_hash"])
         ds = ds.drop_columns(["url_hash"])
+    elif skew_break:
+        ds = streaming_skew_break(ds)
     return extract_articles(
         ds,
         rule_lines=rule_lines,
@@ -62,12 +79,20 @@ def run_extract_job(
 
     Called by ``python -m crawtext_ray.run`` (the ``ray job submit``
     entrypoint, SURVEY.md §3.1)."""
+    import ray
+
     from ..state.lineage import write_partitioned
+
+    if concurrency is None:
+        # fixed pool sized to the cluster, leaving ~1/8 of CPUs for the
+        # parquet read/decode stage (see BASELINE.md tuning notes)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, cpus - max(1, cpus // 8))
 
     t0 = time.time()
     done = completed_partitions(out_dir)
 
-    ds = read_pages(input_path)
+    ds = read_pages(input_path, shuffle="files")
     ds = add_url_hash(ds, num_buckets=num_partitions)
     if done:
         done_list = sorted(done)
@@ -81,7 +106,9 @@ def run_extract_job(
             return batch.filter(mask)
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow", zero_copy_batch=True)
-    ds = keyed_repartition(ds, num_partitions, ["url_hash"])
+    # No pre-extract all-to-all: the url-hash keyed exchange happens in the
+    # partitioned sink below, on extracted articles (~5x smaller than html).
+    ds = ds.drop_columns(["url_hash"])
 
     articles = extract_articles(
         ds,

@@ -29,6 +29,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="print per-language report after the run")
     args = ap.parse_args(argv)
 
+    if args.query:
+        # fail fast on a malformed query, before any workers spin up
+        from crawtext_ray.extract.query import Query, QueryError
+
+        try:
+            Query(args.query)
+        except QueryError as e:
+            print(f"error: invalid --query: {e}", file=sys.stderr)
+            return 2
+
     import ray
 
     if not ray.is_initialized():

@@ -18,14 +18,18 @@ def read_pages(
     columns: list[str] | None = None,
     include_paths: bool = False,
     override_num_blocks: int | None = None,
+    shuffle=None,
 ) -> "ray.data.Dataset":
     """Scan the pages table. ``columns`` prunes at the parquet reader
-    (row-group level) — e.g. reports read only ["url", "lang"]."""
+    (row-group level) — e.g. reports read only ["url", "lang"].
+    ``shuffle="files"`` randomizes file order (cheap host-skew break for
+    host-clustered crawl dumps)."""
     return ray.data.read_parquet(
         path,
         columns=columns,
         include_paths=include_paths,
         override_num_blocks=override_num_blocks,
+        shuffle=shuffle,
     )
 
 

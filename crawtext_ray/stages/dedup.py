@@ -93,16 +93,44 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
+# token -> stable 64-bit hash, cached per process (vocab is tiny relative
+# to corpus; turns per-shingle md5 into one md5 per unique token)
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_SHINGLE_BASE = np.uint64(1_000_003)
+
+
+def _token_hash(tok: str) -> int:
+    h = _TOKEN_HASH_CACHE.get(tok)
+    if h is None:
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        _TOKEN_HASH_CACHE[tok] = h
+    return h
+
+
+def _shingle_array(text: str, k: int) -> np.ndarray:
+    """Deterministic uint64 k-gram shingle hashes, vectorized: cached
+    per-token hashes combined with a polynomial rolling scheme (uint64
+    wraparound). Replaces per-shingle md5 (measured ~10x faster)."""
+    toks = _TOKEN_RE.findall(text.lower())
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    th = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
+    if len(toks) < k:
+        acc = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for v in th:
+                acc = acc * _SHINGLE_BASE + v
+        return np.array([acc], dtype=np.uint64)
+    n = len(toks) - k + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc = acc * _SHINGLE_BASE + th[j : j + n]
+    return np.unique(acc)
+
 
 def _shingles(text: str, k: int) -> set[int]:
-    toks = _TOKEN_RE.findall(text.lower())
-    if len(toks) < k:
-        return {hash(" ".join(toks)) & 0xFFFFFFFFFFFF} if toks else set()
-    out = set()
-    for i in range(len(toks) - k + 1):
-        h = hashlib.md5(" ".join(toks[i : i + k]).encode()).digest()
-        out.add(int.from_bytes(h[:8], "big"))
-    return out
+    return set(int(x) for x in _shingle_array(text, k))
 
 
 class MinHasher:
@@ -120,10 +148,9 @@ class MinHasher:
         self.k = shingle_k
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.k)
-        if not sh:
+        vals = _shingle_array(text, self.k)
+        if vals.size == 0:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        vals = np.fromiter(sh, dtype=np.uint64, count=len(sh))
         # (a*x + b) with uint64 wraparound — a universal-enough permutation
         # family, fully vectorized (shingles × permutations)
         with np.errstate(over="ignore"):

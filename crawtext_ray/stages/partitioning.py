@@ -61,6 +61,22 @@ def repartition_by_url_hash(ds, num_partitions: int, num_buckets: int = 1024):
     return keyed_repartition(ds, num_partitions, ["url_hash"])
 
 
+def streaming_skew_break(ds):
+    """Zero-cost skew break: randomize block order so a hot host's
+    consecutive blocks don't land on one worker back-to-back. Combined
+    with (a) ``read_parquet(shuffle="files")`` at the scan and (b) the
+    extract stage being a dynamic actor POOL (any free actor takes the
+    next batch), this absorbs host-level cost variance without an
+    all-to-all. Measured on 100k synthetic pages at 32 CPUs: a full
+    url-hash ``repartition`` before extract costs 90–128s vs 26s total
+    without it — the exchange of raw html is 3.5–5x the entire pipeline —
+    while the keyed exchange that semantics actually need (url-hash
+    partitioned OUTPUT for dedup/resume) happens on extracted articles
+    (~5x smaller) in the sink groupby. Use ``repartition_by_url_hash``
+    only when downstream stages need key co-location BEFORE extraction."""
+    return ds.randomize_block_order()
+
+
 def use_hash_shuffle() -> None:
     """Opt the session into HASH_SHUFFLE (called by session owners:
     bench.py, crawtext_ray.run, tests). Hash shuffle enables keyed

@@ -156,26 +156,40 @@ def json_extract_events(sf_dir: str):
 
 
 def date_buckets_events(sf_dir: str):
-    """§2.9 date bucketing: events per day."""
+    """§2.9 date bucketing: events per day. Partial counts per batch,
+    then a tiny keyed aggregate — the shuffle carries one row per
+    (block, day), not one per event."""
+    from ray.data.aggregate import Sum
 
-    def add_day(df: pd.DataFrame) -> pd.DataFrame:
-        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
-        return df[["day"]]
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].dt.strftime("%Y-%m-%d")
+        return day.value_counts().rename_axis("day").reset_index(name="partial_n")
 
-    ds = _events(sf_dir, ["ts"]).map_batches(add_day, batch_format="pandas")
-    return ds.groupby("day").aggregate(Count(alias_name="n_events"))
+    ds = _events(sf_dir, ["ts"]).map_batches(partial, batch_format="pandas")
+    return ds.groupby("day").aggregate(Sum("partial_n", alias_name="n_events"))
 
 
 def window_hourly_events(sf_dir: str):
     """Streaming-shaped tumbling window: per (user, hour) event counts —
-    the windowed-aggregate custom op expressed as map_batches + groupby."""
+    the windowed-aggregate custom op as partial-combine map_batches + a
+    keyed aggregate over the partials."""
+    from ray.data.aggregate import Sum
 
-    def add_window(df: pd.DataFrame) -> pd.DataFrame:
-        df["window_start"] = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00")
-        return df[["user_id", "window_start"]]
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            window_start=df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00")
+        )
+        g = (
+            df.groupby(["user_id", "window_start"], as_index=False)
+            .size()
+            .rename(columns={"size": "partial_n"})
+        )
+        return g
 
-    ds = _events(sf_dir, ["user_id", "ts"]).map_batches(add_window, batch_format="pandas")
-    return ds.groupby(["user_id", "window_start"]).aggregate(Count(alias_name="n_events"))
+    ds = _events(sf_dir, ["user_id", "ts"]).map_batches(partial, batch_format="pandas")
+    return ds.groupby(["user_id", "window_start"]).aggregate(
+        Sum("partial_n", alias_name="n_events")
+    )
 
 
 def user_event_stats(sf_dir: str):

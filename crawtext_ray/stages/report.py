@@ -9,19 +9,50 @@ AggregateFn partials inside blocks before the exchange.
 
 from __future__ import annotations
 
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Sum
 
 from ..extract.urlnorm import domain_of
 
 
+def _bounded_key_counts(articles, key: str, out_name: str = "n_docs"):
+    """Grouped count for a BOUNDED key domain (langs, statuses): map-side
+    partial value_counts (one row per key per block) merged on the driver
+    — no all-to-all at all. A sort-shuffle Aggregate on the same data
+    measured a fixed ~7s tail at 32 cpus; the partial rows here are
+    ≤ |keys| × |blocks|. For unbounded keys (domains) use the groupby
+    path (report_domain)."""
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch[key])
+        return pa.table({key: vc.field("values"), "partial_n": vc.field("counts")})
+
+    partials = (
+        articles.select_columns([key])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    cnt: collections.Counter = collections.Counter()
+    for r in partials:
+        cnt[r[key]] += r["partial_n"]
+    keys = sorted(cnt)
+    return rd.from_arrow(
+        pa.table({key: keys, out_name: [int(cnt[k]) for k in keys]})
+    )
+
+
 def report_lang(articles):
     """A1 (mandated by BASELINE.json:6): per-language doc counts."""
-    return articles.groupby("lang").aggregate(Count(alias_name="n_docs"))
+    return _bounded_key_counts(articles, "lang")
 
 
 def report_status(articles):
     """A2: ok / empty / blocked / parse_error tallies."""
-    return articles.groupby("status").aggregate(Count(alias_name="n_docs"))
+    return _bounded_key_counts(articles, "status")
 
 
 def _add_domain(batch):
@@ -34,8 +65,13 @@ def add_domain(ds):
 
 
 def report_domain(articles):
-    """A3: per-domain counts (host skew report)."""
-    return add_domain(articles).groupby("domain").aggregate(Count(alias_name="n_docs"))
+    """A3: per-domain counts (host skew report; pruned to url first)."""
+    return (
+        add_domain(articles.select_columns(["url"]))
+        .select_columns(["domain"])
+        .groupby("domain")
+        .aggregate(Count(alias_name="n_docs"))
+    )
 
 
 def top_domains(articles, k: int = 10):
