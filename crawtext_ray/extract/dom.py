@@ -128,11 +128,14 @@ class Node:
 
     # -- traversal ---------------------------------------------------------
     def iter(self, tag: str | None = None) -> Iterator["Node"]:
-        """Depth-first, document order, self included."""
-        if tag is None or self.tag == tag:
-            yield self
-        for c in self.children:
-            yield from c.iter(tag)
+        """Depth-first, document order, self included (iterative — the
+        recursive-generator form profiled ~2x slower on deep trees)."""
+        stack = [self]
+        while stack:
+            n = stack.pop()
+            if tag is None or n.tag == tag:
+                yield n
+            stack.extend(reversed(n.children))
 
     def find_all(self, tags: frozenset[str] | set[str]) -> list["Node"]:
         return [n for n in self.iter() if n.tag in tags]

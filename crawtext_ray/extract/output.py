@@ -14,7 +14,7 @@ import re
 
 from .dom import Node
 from .scoring import is_high_link_density
-from .stopwords import word_stats
+from .stopwords import stopword_count_cached
 
 _SIBLING_MIN_THRESHOLD = 10.0
 _SIBLING_SCORE_FACTOR = 0.30
@@ -47,7 +47,7 @@ def _sibling_paragraphs(sib: Node, threshold: float, lang: str) -> list[Node]:
             continue
         if is_high_link_density(p):
             continue
-        if word_stats(txt, lang).stop_word_count > threshold:
+        if stopword_count_cached(txt, lang) > threshold:
             np = Node("p", order=p.order)
             np.text = txt
             out.append(np)
@@ -161,7 +161,7 @@ def remove_fewwords_paragraphs(top_node: Node, lang: str) -> None:
     for el in reversed(nodes):
         if el.tag == "br" or el.parent is None:
             continue
-        sw = word_stats(el.text_content(), lang).stop_word_count
+        sw = stopword_count_cached(el.text_content(), lang)
         if sw < _FEWWORDS_MIN_STOPWORDS:
             has_media = any(n.tag in ("object", "embed") for n in el.iter())
             if not has_media:

@@ -19,7 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from .dom import Node
-from .stopwords import word_stats
+from .stopwords import stopword_count_cached
 
 CANDIDATE_TAGS = frozenset(["p", "pre", "td"])
 _MIN_KEEP_STOPWORDS = 2        # strictly greater-than
@@ -58,7 +58,7 @@ def is_boostable(node: Node, lang: str) -> bool:
             continue
         if steps >= _BOOST_MAX_STEPS:
             return False
-        if word_stats(sib.text_content(), lang).stop_word_count > _BOOST_MIN_STOPWORDS:
+        if stopword_count_cached(sib.text_content(), lang) > _BOOST_MIN_STOPWORDS:
             return True
         steps += 1
     return False
@@ -86,8 +86,8 @@ def calculate_best_node(root: Node, lang: str) -> ScoreResult:
 
     kept: list[Node] = []
     for node in candidates:
-        ws = word_stats(node.text_content(), lang)
-        if ws.stop_word_count > _MIN_KEEP_STOPWORDS and not is_high_link_density(node):
+        sw = stopword_count_cached(node.text_content(), lang)
+        if sw > _MIN_KEEP_STOPWORDS and not is_high_link_density(node):
             kept.append(node)
     res.kept_candidates = kept
 
@@ -106,7 +106,7 @@ def calculate_best_node(root: Node, lang: str) -> ScoreResult:
             boost_score = -(booster * booster)
             if abs(boost_score) > _NEG_ESCAPE:
                 boost_score = _NEG_ESCAPE_BONUS
-        upscore = int(word_stats(node.text_content(), lang).stop_word_count + boost_score)
+        upscore = int(stopword_count_cached(node.text_content(), lang) + boost_score)
 
         parent = node.parent
         if parent is None:

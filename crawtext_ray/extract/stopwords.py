@@ -64,6 +64,14 @@ def stopword_count(text: str, lang: str = DEFAULT_LANGUAGE) -> int:
     return sum(1 for t in toks if t in sw)
 
 
+@lru_cache(maxsize=4096)
+def stopword_count_cached(text: str, lang: str) -> int:
+    """Memoized stopword count: the scorer re-evaluates the same node
+    texts several times per page (keep filter, boost walk, sibling
+    checks); pure function, bounded cache."""
+    return stopword_count(text, lang)
+
+
 def resolve_language(input_lang: str | None, meta_lang: str | None, text: str) -> str:
     """M8 language resolver: input ``lang`` column, else meta lang, else
     argmax stopword hits across known languages (ties -> KNOWN_LANGUAGES

@@ -9,7 +9,13 @@ the trailing "/" of an empty path.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from urllib.parse import parse_qsl, urlencode, urljoin, urlsplit, urlunsplit
+
+# canon_url's output is re-split by is_crawlable/domain_of/adblock on the
+# same string; stdlib's internal parse cache holds only 20 entries, so we
+# memoize properly (pure function, bounded).
+_cached_urlsplit = lru_cache(maxsize=8192)(urlsplit)
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
@@ -30,7 +36,11 @@ ALLOWED_SCHEMES = frozenset(["http", "https"])
 def canon_url(base: str, href: str) -> str:
     """M1: canonical absolute URL, or "" when the result is unusable."""
     try:
-        absu = urljoin(base, href.strip()) if base else href.strip()
+        href = href.strip()
+        if not base or href.startswith(("http://", "https://")):
+            absu = href  # urljoin(base, absolute) == absolute; skip the work
+        else:
+            absu = urljoin(base, href)
         parts = urlsplit(absu)
     except ValueError:
         return ""
@@ -59,7 +69,7 @@ def canon_url(base: str, href: str) -> str:
 def has_bad_extension(url: str) -> bool:
     """M2: media/binary extension test on the path."""
     try:
-        path = urlsplit(url).path.lower()
+        path = _cached_urlsplit(url).path.lower()
     except ValueError:
         return True
     dot = path.rfind(".")
@@ -71,7 +81,7 @@ def has_bad_extension(url: str) -> bool:
 def is_crawlable(url: str) -> bool:
     """M2 combined filter: http(s) scheme and no bad extension."""
     try:
-        scheme = urlsplit(url).scheme.lower()
+        scheme = _cached_urlsplit(url).scheme.lower()
     except ValueError:
         return False
     return scheme in ALLOWED_SCHEMES and not has_bad_extension(url)
@@ -80,6 +90,6 @@ def is_crawlable(url: str) -> bool:
 def domain_of(url: str) -> str:
     """Scalar fn (SURVEY.md §2.9): lowercased host, or ""."""
     try:
-        return (urlsplit(url).hostname or "").lower()
+        return (_cached_urlsplit(url).hostname or "").lower()
     except ValueError:
         return ""
