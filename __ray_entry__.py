@@ -223,6 +223,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lineitem scans (oracle-checked)
         "q1_counts": R.q1_counts_lineitem,
         "shipped_before": R.shipped_before,
+        # window functions (oracle-checked)
+        "window_running": R.window_running_events,
+        "window_lag": R.window_lag_events,
+        "window_sliding": R.window_sliding_events,
+        # sort / star join / stats (oracle-checked)
+        "top_events": R.top_events_by_value,
+        "customers_per_region": R.customers_per_region,
+        "events_by_type_day": R.events_by_type_day,
+        "median_chars": R.median_chars_by_lang,
         # similarity (oracle-checked exact; approximate is rows-only)
         "embedding_topk": R.embedding_topk_exact,
         "ann_lsh_topk": _q_ann_lsh,
@@ -318,6 +327,36 @@ def oracle_sql() -> dict[str, str]:
         "shipped_before": (
             "SELECT l_orderkey, l_linenumber FROM lineitem "
             "WHERE l_shipdate < TIMESTAMP '1996-01-01'"
+        ),
+        "window_running": (
+            "SELECT event_id, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS event_seq FROM events"
+        ),
+        "window_lag": (
+            "SELECT event_id, COALESCE(lag(event_id) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id), -1) AS prev_event_id "
+            "FROM events"
+        ),
+        "window_sliding": (
+            "SELECT event_id, count(*) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour "
+            "FROM events"
+        ),
+        "top_events": (
+            "SELECT event_id FROM events ORDER BY value DESC, event_id LIMIT 100"
+        ),
+        "customers_per_region": (
+            "SELECT r_name, n_name, count(*) AS n_customers FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2"
+        ),
+        "events_by_type_day": (
+            "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "median_chars": (
+            "SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS median_chars "
+            "FROM documents GROUP BY lang"
         ),
         "embedding_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3), "

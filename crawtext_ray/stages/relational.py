@@ -322,3 +322,138 @@ def embedding_topk_exact(sf_dir: str, k: int = 10, n_queries: int = 3):
     }
     out = brute_force_topk(emb, queries, k=k)
     return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+# --- window functions (running / sliding / lag) ---------------------------
+
+
+def window_running_events(sf_dir: str):
+    """Running window: per-user event sequence number ordered by
+    (ts, event_id) — groupby(key).map_groups over the sorted group, the
+    Ray Data form of ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...)."""
+
+    def seq(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable").reset_index(drop=True)
+        g["event_seq"] = g.index.to_numpy() + 1
+        return g[["event_id", "event_seq"]]
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+    return ds.groupby("user_id").map_groups(seq, batch_format="pandas")
+
+
+def window_lag_events(sf_dir: str):
+    """LAG(): previous event id per user (ordered by ts, event_id);
+    first event per user gets null."""
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        g["prev_event_id"] = g["event_id"].shift(1)
+        out = g[["event_id", "prev_event_id"]].copy()
+        # -1 sentinel instead of NULL: keeps the column pure int64 on both
+        # engines (nullable ints come back as float64 from some drivers)
+        out["prev_event_id"] = out["prev_event_id"].fillna(-1).astype("int64")
+        return out
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+    return ds.groupby("user_id").map_groups(lag, batch_format="pandas")
+
+
+def window_sliding_events(sf_dir: str):
+    """Sliding event-time window: per event, how many events of the same
+    user fell in (ts - 1 hour, ts] — RANGE INTERVAL window as per-group
+    sorted two-pointer (vectorized searchsorted)."""
+
+    def last_hour(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable").reset_index(drop=True)
+        ts = g["ts"].to_numpy()
+        # inclusive lower bound to match SQL RANGE ... 1 HOUR PRECEDING
+        lo = np.searchsorted(ts, ts - np.timedelta64(3600, "s"), side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        g["n_last_hour"] = (hi - lo).astype("int64")
+        return g[["event_id", "n_last_hour"]]
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+    return ds.groupby("user_id").map_groups(last_hour, batch_format="pandas")
+
+
+# --- sort / top-k over a fact table ---------------------------------------
+
+
+def top_events_by_value(sf_dir: str, k: int = 100):
+    """Global ORDER BY ... LIMIT k (distributed sort + tiny take):
+    deterministic tie-break on event_id."""
+    ds = _events(sf_dir, ["event_id", "value"])
+    out = ds.sort(["value", "event_id"], descending=[True, False]).limit(k)
+    return out.select_columns(["event_id"])
+
+
+# --- multi-way broadcast star join ----------------------------------------
+
+
+def customers_per_region(sf_dir: str):
+    """Star-schema rollup: customer ⋈ nation ⋈ region with BOTH dims
+    broadcast (they are tiny); the fact table streams. Output
+    (r_name, n_name, n_customers)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put((n2r, n2name, r2name))
+
+    class Attach:
+        def __init__(self):
+            self.n2r, self.n2name, self.r2name = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            nk = batch["c_nationkey"].to_pylist()
+            rn = [self.r2name.get(self.n2r.get(k)) for k in nk]
+            nn = [self.n2name.get(k) for k in nk]
+            t = pa.table(
+                {
+                    "r_name": pa.array(rn, pa.string()),
+                    "n_name": pa.array(nn, pa.string()),
+                }
+            )
+            return t.filter(pa.compute.is_valid(t["r_name"]))
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+    ds = ds.map_batches(Attach, batch_format="pyarrow", zero_copy_batch=True,
+                        concurrency=(1, 4))
+    return ds.groupby(["r_name", "n_name"]).aggregate(Count(alias_name="n_customers"))
+
+
+def events_by_type_day(sf_dir: str):
+    """Two-key grouped counts with map-side partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(day=df["ts"].dt.strftime("%Y-%m-%d"))
+        return (
+            df.groupby(["event_type", "day"], as_index=False)
+            .size()
+            .rename(columns={"size": "partial_n"})
+        )
+
+    ds = _events(sf_dir, ["event_type", "ts"]).map_batches(partial, batch_format="pandas")
+    return ds.groupby(["event_type", "day"]).aggregate(
+        Sum("partial_n", alias_name="n_events")
+    )
+
+
+def median_chars_by_lang(sf_dir: str):
+    """Discrete median (quantile_disc 0.5) of n_chars per lang: per-group
+    sorted pick matching DuckDB's lower-discrete definition."""
+    import math
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(g["n_chars"])
+        idx = max(0, math.ceil(0.5 * len(vals)) - 1)
+        return pd.DataFrame(
+            {"lang": [g["lang"].iloc[0]], "median_chars": [int(vals[idx])]}
+        )
+
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+    return ds.groupby("lang").map_groups(med, batch_format="pandas")
