@@ -55,7 +55,9 @@ def canon_url(base: str, href: str) -> str:
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"
-    path = parts.path
+    # trailing whitespace can survive urljoin when the href had spaces
+    # before its fragment; canonical form must be a fixed point
+    path = parts.path.rstrip()
     if path == "/":
         path = ""
     query = parts.query

@@ -1,0 +1,73 @@
+"""Bloom filter for at-scale anti-joins (J1 when the seen-url set no
+longer fits a broadcast python set).
+
+numpy bit-array, double-hashing (Kirsch–Mitzenmacher) over two stable
+64-bit hashes of the key; serializable (the packed array ships once per
+worker via ray.put). False positives drop a not-actually-seen url — for
+frontier dedup that is the safe direction (we may skip a page, never
+re-crawl one); pick ``fp_rate`` accordingly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+
+
+class BloomFilter:
+    def __init__(self, capacity: int, fp_rate: float = 0.001):
+        m = max(64, int(-capacity * math.log(fp_rate) / (math.log(2) ** 2)))
+        self.n_bits = (m + 63) // 64 * 64
+        self.n_hashes = max(1, round((self.n_bits / max(1, capacity)) * math.log(2)))
+        self.bits = np.zeros(self.n_bits // 64, dtype=np.uint64)
+
+    @staticmethod
+    def _h2(key: str) -> tuple[int, int]:
+        d = hashlib.md5(key.encode("utf-8")).digest()
+        return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big")
+
+    def _positions(self, key: str) -> np.ndarray:
+        h1, h2 = self._h2(key)
+        i = np.arange(self.n_hashes, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            return (np.uint64(h1) + i * np.uint64(h2)) % np.uint64(self.n_bits)
+
+    def add(self, key: str) -> None:
+        pos = self._positions(key)
+        # ufunc.at: plain fancy-index |= silently drops updates when two
+        # hash positions land in the same word
+        np.bitwise_or.at(
+            self.bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63))
+        )
+
+    def update(self, keys) -> None:
+        for k in keys:
+            self.add(k)
+
+    def __contains__(self, key: str) -> bool:
+        pos = self._positions(key)
+        want = np.uint64(1) << (pos & np.uint64(63))
+        return bool(np.all(self.bits[pos >> np.uint64(6)] & want == want))
+
+
+def bloom_anti_join(ds, bloom: "BloomFilter | object", key: str = "url"):
+    """Keep rows whose key is NOT (probably) in the filter. ``bloom`` may
+    be a BloomFilter or a ray.ObjectRef of one (put once, read per
+    actor)."""
+    import pyarrow as pa
+    import ray
+
+    ref = bloom if isinstance(bloom, ray.ObjectRef) else ray.put(bloom)
+
+    class Drop:
+        def __init__(self):
+            self.bloom = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = [k not in self.bloom for k in batch[key].to_pylist()]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(Drop, batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 4))

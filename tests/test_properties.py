@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the deterministic core
+(SURVEY.md §5.2: idempotence / robustness properties)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawtext_ray.extract.article import extract_article
+from crawtext_ray.extract.dom import parse_html
+from crawtext_ray.extract.output import inner_trim
+from crawtext_ray.extract.stopwords import tokenize
+from crawtext_ray.extract.urlnorm import canon_url
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=2000))
+def test_parse_never_raises(s):
+    parse_html(s)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=2000))
+def test_extract_never_raises_and_is_deterministic(b):
+    a1 = extract_article(b, "http://x.example/p", "en")
+    a2 = extract_article(b, "http://x.example/p", "en")
+    assert a1["extracted_text"] == a2["extracted_text"]
+    assert a1["status"] in ("ok", "empty", "parse_error", "blocked")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_canon_url_idempotent(href):
+    u = canon_url("http://base.example/dir/", href)
+    if u:
+        assert canon_url("", u) == u  # canonical form is a fixed point
+        assert u.startswith(("http://", "https://"))
+        assert "#" not in u
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=500))
+def test_tokenize_properties(s):
+    toks = tokenize(s)
+    assert all(t == t.lower() for t in toks)
+    assert all(" " not in t and t for t in toks)
+    assert tokenize(" ".join(toks)) == toks  # stable under re-join
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=500))
+def test_inner_trim_idempotent(s):
+    t = inner_trim(s)
+    assert inner_trim(t) == t
+    assert t == t.strip()
+    assert "  " not in t and "\n" not in t and "\t" not in t
+
+
+def test_bloom_filter_properties():
+    from crawtext_ray.state.bloom import BloomFilter
+
+    bf = BloomFilter(capacity=10_000, fp_rate=0.001)
+    keys = [f"http://h{i}.example/p{i}" for i in range(5_000)]
+    bf.update(keys)
+    assert all(k in bf for k in keys)  # no false negatives, ever
+    fresh = [f"http://other{i}.example/x{i}" for i in range(5_000)]
+    fp = sum(1 for k in fresh if k in bf)
+    assert fp < 50  # ~0.1% target; generous bound
+
+
+def test_export_report(tmp_path):
+    import json
+
+    import pandas as pd
+
+    from crawtext_ray.stages.export import export_report
+
+    df = pd.DataFrame({"lang": ["en", "fr"], "n_docs": [10, 5]})
+    p = export_report(df, str(tmp_path / "r.json"))
+    assert json.load(open(p)) == [
+        {"lang": "en", "n_docs": 10},
+        {"lang": "fr", "n_docs": 5},
+    ]
+    p = export_report(df, str(tmp_path / "r.csv"))
+    assert open(p).read().splitlines()[0] == "lang,n_docs"
