@@ -27,6 +27,11 @@ def main(argv: list[str] | None = None) -> int:
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--report", action="store_true",
                     help="print per-language report after the run")
+    ap.add_argument("--curate", action="store_true",
+                    help="run the training-data curation chain (quality "
+                         "gate + exact & near dedup) instead of the raw "
+                         "extract job")
+    ap.add_argument("--min-words", type=int, default=20)
     args = ap.parse_args(argv)
 
     if args.query:
@@ -57,15 +62,32 @@ def main(argv: list[str] | None = None) -> int:
             with open(args.rules) as f:
                 rule_lines = f.read().splitlines()
 
-        summary = run_extract_job(
-            args.input,
-            args.out,
-            query_expression=args.query,
-            rule_lines=rule_lines,
-            num_partitions=args.partitions,
-            batch_size=args.batch_size,
-        )
-        print(json.dumps(summary))
+        if args.curate:
+            from crawtext_ray.pipelines.training_data import curate
+
+            # curation chains TWO actor pools (extract, minhash) plus keyed
+            # shuffles in one pipeline: the extract pool gets only half the
+            # CPUs or the downstream stages starve and the pipeline stalls
+            cpus = args.num_cpus
+            curated = curate(
+                args.input,
+                out_dir=args.out,
+                query_expression=args.query,
+                num_partitions=args.partitions,
+                concurrency=max(2, cpus // 2),
+                min_words=args.min_words,
+            )
+            print(json.dumps({"out_dir": args.out, "rows": curated.count()}))
+        else:
+            summary = run_extract_job(
+                args.input,
+                args.out,
+                query_expression=args.query,
+                rule_lines=rule_lines,
+                num_partitions=args.partitions,
+                batch_size=args.batch_size,
+            )
+            print(json.dumps(summary))
 
         if args.report:
             import ray.data as rd
