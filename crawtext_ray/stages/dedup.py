@@ -245,18 +245,18 @@ class _SimHash:
         toks = _TOKEN_RE.findall(text.lower())
         if not toks:
             return 0
-        v = np.zeros(64, dtype=np.int64)
-        for t in toks:
-            h = int.from_bytes(
-                hashlib.md5(t.encode()).digest()[:8], "big"
-            )
-            bits = np.fromiter(((h >> i) & 1 for i in range(64)), dtype=np.int64, count=64)
-            v += 2 * bits - 1
-        out = 0
-        for i in range(64):
-            if v[i] > 0:
-                out |= 1 << i
-        return out
+        th = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64,
+                         count=len(toks))
+        # (n_tokens, 64) bit matrix via vectorized shifts; classic Charikar
+        # majority vote per bit position
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        out = np.uint64(0)
+        out |= np.bitwise_or.reduce(
+            (v > 0).astype(np.uint64) << shifts
+        )
+        return int(out)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
@@ -361,3 +361,67 @@ def verify_pairs_jaccard(ds_pairs, docs_lookup, text_col: str = "text",
     return ds_pairs.map_batches(
         Verify, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
     )
+
+
+# ------------------------------------------- connected components ----
+
+
+def connected_components(pairs, id_col: str = "doc_id",
+                         rep_col: str = "rep_id", max_iters: int = 10):
+    """Transitive dup clusters from candidate (id, rep) edges: iterative
+    min-label propagation, each round one keyed groupby over (node,
+    current_label) edge rows — the distributed union-find substitute the
+    LSH bucket-rep output needs when chains occur (a~b, b~c ⇒ {a,b,c}).
+
+    Converges in O(diameter) rounds; each round's exchange carries two
+    small int columns. Returns (id_col, cluster_id) with cluster_id =
+    min id of the component (ids not present in any pair are absent —
+    singletons need no relabeling)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch[id_col].to_pylist()
+        b = batch[rep_col].to_pylist()
+        return pa.table(
+            {
+                "node": pa.array(a + b, pa.int64()),
+                "nbr": pa.array(b + a, pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    edges = edges.materialize()
+
+    def min_label(g: pd.DataFrame) -> pd.DataFrame:
+        node = int(g["node"].iloc[0])
+        lab = int(min(g["nbr"].min(), node))
+        return pd.DataFrame({"node": [node], "label": [lab]})
+
+    labels = edges.groupby("node").map_groups(min_label, batch_format="pandas")
+
+    for _ in range(max_iters):
+        lab_map = {int(r["node"]): int(r["label"]) for r in labels.take_all()}
+        new_map = dict(lab_map)
+        changed = False
+        # pointer-jumping on the driver over the (small) dup-graph labels;
+        # the heavy edge discovery stayed distributed above
+        for n in list(new_map):
+            l = new_map[n]
+            while l in new_map and new_map[l] < l:
+                l = new_map[l]
+            if l != new_map[n]:
+                new_map[n] = l
+                changed = True
+        if not changed:
+            break
+        import ray.data as rd
+
+        labels = rd.from_items(
+            [{"node": n, "label": l} for n, l in sorted(new_map.items())]
+        )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: batch["node"], "cluster_id": batch["label"]}
+        )
+
+    return labels.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

@@ -173,3 +173,37 @@ def test_anti_join_grouped(ray_session):
     seen = rd.from_items([{"url": f"u{i}"} for i in range(0, 10, 2)])
     out = anti_join_grouped(new, seen)
     assert sorted(r["url"] for r in out.take_all()) == [f"u{i}" for i in range(1, 10, 2)]
+
+
+def test_connected_components_transitive(ray_session):
+    import ray.data as rd
+
+    from crawtext_ray.stages.dedup import connected_components
+
+    # chain: 5~3, 3~1 ; separate pair: 10~9
+    pairs = rd.from_items(
+        [
+            {"doc_id": 5, "rep_id": 3},
+            {"doc_id": 3, "rep_id": 1},
+            {"doc_id": 10, "rep_id": 9},
+        ]
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).take_all()}
+    assert out[5] == 1 and out[3] == 1 and out[1] == 1
+    assert out[10] == 9 and out[9] == 9
+
+
+def test_bloom_incremental_recrawl(ray_session, pages_small):
+    """Batch-incremental re-crawl (SURVEY.md §2.10): second run skips
+    already-extracted urls via a Bloom anti-join."""
+    import ray.data as rd
+
+    from crawtext_ray.state.bloom import BloomFilter, bloom_anti_join
+
+    pages = rd.read_parquet(pages_small, columns=["url", "warc_ts"])
+    first_half = {r["url"] for r in pages.take(500)}
+    bf = BloomFilter(capacity=len(first_half))
+    bf.update(first_half)
+    remaining = bloom_anti_join(pages, bf).to_pandas()
+    assert len(remaining) <= 1000 - len(first_half) + 500 * 0.01
+    assert not (set(remaining["url"]) & first_half)
