@@ -46,7 +46,7 @@ def test_golden_bytes(case, rules):
 
 
 def test_corpus_exists_and_covers_branches():
-    assert len(CASES) >= 60
+    assert len(CASES) >= 100
     for needed in (
         "c1_comment_removed", "c6_div_to_para", "x2_linkfarm_rejected",
         "x5_sibling_threshold", "x9_fewwords", "enc_latin1_meta",

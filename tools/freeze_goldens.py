@@ -147,7 +147,7 @@ case("malformed_unclosed",
      note="lenient parse: implicit closes, truncated input")
 
 
-def _generator_cases(n: int = 40) -> None:
+def _generator_cases(n: int = 100) -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from fixtures.gen_pages import build_page
 
