@@ -11,8 +11,13 @@ before import — nothing here calls ray.init()/ray.shutdown().
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# the driver may import this module from any cwd; the package lives next
+# to this file
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 _FIXTURE_ROOT = "/tmp/crawtext_ray_fixtures"
 
@@ -171,6 +176,26 @@ def _q_ann_lsh(sf_dir: str):
     return lsh_bucket_topk(emb, queries, dim=dim, k=10)
 
 
+def _q_ann_ivf(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawtext_ray.stages.similarity import ivf_topk, train_ivf_centroids
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    sample = np.asarray(qt["embedding"].to_pylist()[:512], dtype=np.float32)
+    cents = train_ivf_centroids(sample, n_clusters=16)
+    qdf = qt.filter(pa.compute.less(qt["vec_id"], pa.scalar(3))).to_pandas()
+    queries = {
+        "query_id": qdf["vec_id"].tolist(),
+        "matrix": np.asarray(list(qdf["embedding"]), dtype=np.float32),
+    }
+    return ivf_topk(emb, queries, cents, k=10, nprobe=4)
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing: documents.text bytes as fake binary payloads
     → decode/feature actor stage (decode kernel stubbed: no image libs)."""
@@ -235,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity (oracle-checked exact; approximate is rows-only)
         "embedding_topk": R.embedding_topk_exact,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_dedup": _q_embedding_dedup,
         # dedup family over documents (exact oracle-checked; near-dup rows-only)
         "exact_dedup_docs": _q_exact_dedup,

@@ -231,3 +231,128 @@ def embedding_dedup(ds, dim: int, threshold: float = 0.97, n_planes: int = 12,
         return pd.DataFrame({id_col: out_i, "rep_id": out_r, "cosine": out_s})
 
     return bucketed.groupby("lsh_bucket").map_groups(bucket_pairs, batch_format="pandas")
+
+
+# ------------------------------------------------------------- IVF ----
+
+
+def train_ivf_centroids(sample: np.ndarray, n_clusters: int = 16,
+                        n_iters: int = 8, seed: int = 13) -> np.ndarray:
+    """Deterministic mini k-means (numpy, fixed seed) over a driver-side
+    sample — the IVF coarse quantizer. At 100 TB the sample is a
+    ``ds.random_sample`` pulled once; training is O(sample), not corpus."""
+    rng = np.random.default_rng(seed)
+    m = _normalize(sample.astype(np.float64))
+    idx = rng.choice(len(m), size=min(n_clusters, len(m)), replace=False)
+    cents = m[np.sort(idx)].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def add_ivf_cluster(ds, centroids: np.ndarray, id_col: str = "vec_id",
+                    vec_col: str = "embedding"):
+    """Assign each vector to its nearest centroid (one matmul per batch
+    against the broadcast centroid matrix)."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    class Assign:
+        def __init__(self):
+            self.cents = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+            assign = np.argmax(m @ self.cents.T, axis=1)
+            return batch.append_column(
+                "ivf_cluster", pa.array(assign.astype(np.int64), pa.int64())
+            )
+
+    return ds.map_batches(Assign, batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 8))
+
+
+def ivf_topk(ds, queries: dict, centroids: np.ndarray, k: int = 10,
+             nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding"):
+    """IVF approximate top-k: score only vectors whose cluster is among
+    each query's ``nprobe`` nearest centroids. The cluster column doubles
+    as the partition key at scale (one partition per cluster → a query
+    touches nprobe partitions, not the corpus)."""
+    import ray
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    qm = _normalize(np.asarray(queries["matrix"], dtype=np.float64))
+    qprobes = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]
+    wanted = {int(c) for row in qprobes for c in row}
+
+    clustered = add_ivf_cluster(ds, cents, id_col, vec_col)
+    filtered = clustered.map_batches(
+        lambda t: t.filter(
+            pa.array([int(c) in wanted for c in t["ivf_cluster"].to_pylist()],
+                     pa.bool_())
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    qref = ray.put({
+        "query_id": queries["query_id"],
+        "matrix": queries["matrix"],
+        "probes": qprobes.astype(np.int64),
+    })
+
+    class ProbeTopK:
+        def __init__(self):
+            q = ray.get(qref)
+            self.qids = np.asarray(q["query_id"], dtype=np.int64)
+            self.qm = _normalize(np.asarray(q["matrix"], dtype=np.float64))
+            self.probes = q["probes"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            m = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+            vc = np.asarray(batch["ivf_cluster"].to_pylist(), dtype=np.int64)
+            sims = self.qm @ m.T
+            # mask vectors outside each query's probed clusters
+            mask = np.zeros_like(sims, dtype=bool)
+            for qi in range(len(self.qids)):
+                mask[qi] = np.isin(vc, self.probes[qi])
+            sims = np.where(mask, sims, -2.0)
+            kk = min(k, sims.shape[1])
+            out_q, out_id, out_sim = [], [], []
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            for qi in range(sims.shape[0]):
+                for j in idx[qi]:
+                    if sims[qi, j] > -2.0:
+                        out_q.append(int(self.qids[qi]))
+                        out_id.append(int(ids[j]))
+                        out_sim.append(float(sims[qi, j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_id, pa.int64()),
+                    "cosine": pa.array(out_sim, pa.float64()),
+                }
+            )
+
+    partials = filtered.map_batches(
+        ProbeTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")

@@ -207,3 +207,28 @@ def test_bloom_incremental_recrawl(ray_session, pages_small):
     remaining = bloom_anti_join(pages, bf).to_pandas()
     assert len(remaining) <= 1000 - len(first_half) + 500 * 0.01
     assert not (set(remaining["url"]) & first_half)
+
+
+def test_ivf_topk_self_found_and_recall(ray_session):
+    import ray.data as rd
+
+    from crawtext_ray.stages.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(6)
+    vecs = rng.standard_normal((400, 16)).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(400)]
+    )
+    cents = train_ivf_centroids(vecs[:200], n_clusters=8)
+    queries = {"query_id": [3, 7], "matrix": vecs[[3, 7]]}
+    approx = ivf_topk(ds, queries, cents, k=5, nprobe=3).to_pandas()
+    exact = brute_force_topk(ds, queries, k=5).to_pandas()
+    for qid in (3, 7):
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        assert qid in a  # self always retrieved (its own cluster is probed)
+        assert len(a & e) >= 2  # reasonable recall at nprobe=3/8
