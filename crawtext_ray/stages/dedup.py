@@ -192,6 +192,7 @@ def minhash_lsh_duplicates(
     num_perm: int = 128,
     bands: int = 32,
     shingle_k: int = 5,
+    concurrency=(1, 8),
 ):
     """MinHash+LSH near-dup: per-batch signatures (actor pool) → explode
     to (band, band_key, id) rows → groupby band buckets → candidate
@@ -212,7 +213,7 @@ def minhash_lsh_duplicates(
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
+        concurrency=concurrency,
     )
 
     def bucket_rep(g: pd.DataFrame) -> pd.DataFrame:

@@ -155,41 +155,52 @@ def json_extract_events(sf_dir: str):
     )
 
 
+def _bounded_partial_merge(ds, partial_fn, key_cols: list[str]):
+    """Grouped counts for BOUNDED key domains: map-side partials (one row
+    per key per block), merged on the driver — no all-to-all (the
+    sort-shuffle Aggregate carries a fixed multi-second tail even for
+    tiny key sets; see BASELINE.md note 5)."""
+    import collections
+
+    partials = ds.map_batches(partial_fn, batch_format="pandas").take_all()
+    cnt: collections.Counter = collections.Counter()
+    for r in partials:
+        cnt[tuple(r[k] for k in key_cols)] += r["partial_n"]
+    keys = sorted(cnt)
+    cols = {k: [t[i] for t in keys] for i, k in enumerate(key_cols)}
+    cols["n_events"] = [int(cnt[t]) for t in keys]
+    return rd.from_arrow(pa.table(cols))
+
+
 def date_buckets_events(sf_dir: str):
-    """§2.9 date bucketing: events per day. Partial counts per batch,
-    then a tiny keyed aggregate — the shuffle carries one row per
-    (block, day), not one per event."""
-    from ray.data.aggregate import Sum
+    """§2.9 date bucketing: events per day (~30 keys → partial counts per
+    batch, driver merge)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         day = df["ts"].dt.strftime("%Y-%m-%d")
         return day.value_counts().rename_axis("day").reset_index(name="partial_n")
 
-    ds = _events(sf_dir, ["ts"]).map_batches(partial, batch_format="pandas")
-    return ds.groupby("day").aggregate(Sum("partial_n", alias_name="n_events"))
+    return _bounded_partial_merge(_events(sf_dir, ["ts"]), partial, ["day"])
 
 
 def window_hourly_events(sf_dir: str):
-    """Streaming-shaped tumbling window: per (user, hour) event counts —
-    the windowed-aggregate custom op as partial-combine map_batches + a
-    keyed aggregate over the partials."""
-    from ray.data.aggregate import Sum
+    """Streaming-shaped tumbling window: per (user, hour) event counts.
+    Shape: ONE int-keyed groupby(user) + per-group pandas windowing —
+    measured 5x faster than a two-key (user, hour-string) sort-shuffle
+    aggregate (3.0s vs 16.5s on 100k events at 32 cpus), because the
+    exchange keys are small ints and the window bucketing stays
+    vectorized inside the group."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(
-            window_start=df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00")
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ws = g["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00")
+        out = ws.value_counts().rename_axis("window_start").reset_index(
+            name="n_events"
         )
-        g = (
-            df.groupby(["user_id", "window_start"], as_index=False)
-            .size()
-            .rename(columns={"size": "partial_n"})
-        )
-        return g
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
 
-    ds = _events(sf_dir, ["user_id", "ts"]).map_batches(partial, batch_format="pandas")
-    return ds.groupby(["user_id", "window_start"]).aggregate(
-        Sum("partial_n", alias_name="n_events")
-    )
+    ds = _events(sf_dir, ["user_id", "ts"])
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
 def user_event_stats(sf_dir: str):
@@ -426,8 +437,8 @@ def customers_per_region(sf_dir: str):
 
 
 def events_by_type_day(sf_dir: str):
-    """Two-key grouped counts with map-side partials."""
-    from ray.data.aggregate import Sum
+    """Two-key grouped counts; (type, day) is bounded (~150 keys) →
+    map-side partials, driver merge."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(day=df["ts"].dt.strftime("%Y-%m-%d"))
@@ -437,9 +448,8 @@ def events_by_type_day(sf_dir: str):
             .rename(columns={"size": "partial_n"})
         )
 
-    ds = _events(sf_dir, ["event_type", "ts"]).map_batches(partial, batch_format="pandas")
-    return ds.groupby(["event_type", "day"]).aggregate(
-        Sum("partial_n", alias_name="n_events")
+    return _bounded_partial_merge(
+        _events(sf_dir, ["event_type", "ts"]), partial, ["event_type", "day"]
     )
 
 
