@@ -226,11 +226,21 @@ def minhash_lsh_duplicates(
     pairs = banded.groupby(["band", "band_key"]).map_groups(
         bucket_rep, batch_format="pandas"
     )
-    # same (id, rep) may surface from several bands: dedup the pair list
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("rep_id", kind="stable").head(1)
+    # same (id, rep) may surface from several bands: the candidate pair
+    # list is tiny relative to the corpus, so the min-rep dedup happens on
+    # the driver (a second keyed groupby would pay the fixed sort-shuffle
+    # tail again for a handful of rows). If a corpus ever yields a pair
+    # set too big for the driver, swap this for groupby(id).map_groups.
+    import ray.data as rd
 
-    return pairs.groupby(id_col).map_groups(pick, batch_format="pandas")
+    best: dict = {}
+    for r in pairs.take_all():
+        i, rep = r[id_col], r["rep_id"]
+        if i not in best or rep < best[i]:
+            best[i] = rep
+    return rd.from_items(
+        [{id_col: i, "rep_id": best[i]} for i in sorted(best)]
+    )
 
 
 # ------------------------------------------------------------ simhash ----
