@@ -257,6 +257,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_region": R.customers_per_region,
         "events_by_type_day": R.events_by_type_day,
         "median_chars": R.median_chars_by_lang,
+        # global aggregate + set ops (oracle-checked)
+        "global_event_stats": R.global_event_stats,
+        "union_clicks_views": R.union_clicks_views,
+        "users_click_and_purchase": R.users_click_and_purchase,
         # similarity (oracle-checked exact; approximate is rows-only)
         "embedding_topk": R.embedding_topk_exact,
         "ann_lsh_topk": _q_ann_lsh,
@@ -383,6 +387,18 @@ def oracle_sql() -> dict[str, str]:
         "median_chars": (
             "SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS median_chars "
             "FROM documents GROUP BY lang"
+        ),
+        "global_event_stats": (
+            "SELECT count(*) AS n_events, min(event_id) AS min_event_id, "
+            "max(event_id) AS max_event_id FROM events"
+        ),
+        "union_clicks_views": (
+            "SELECT event_id FROM events WHERE event_type = 'click' "
+            "UNION ALL SELECT event_id FROM events WHERE event_type = 'view'"
+        ),
+        "users_click_and_purchase": (
+            "SELECT user_id FROM events WHERE event_type = 'click' "
+            "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'"
         ),
         "embedding_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3), "

@@ -467,3 +467,67 @@ def median_chars_by_lang(sf_dir: str):
 
     ds = _docs(sf_dir, ["lang", "n_chars"])
     return ds.groupby("lang").map_groups(med, batch_format="pandas")
+
+
+# --- global aggregate / set operations ------------------------------------
+
+
+def global_event_stats(sf_dir: str):
+    """A4: whole-table aggregate without a groupby (single-row result)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _events(sf_dir, ["event_id"])
+    row = ds.aggregate(
+        Count(alias_name="n_events"),
+        Min("event_id", alias_name="min_event_id"),
+        Max("event_id", alias_name="max_event_id"),
+    )
+    return pa.table({k: [v] for k, v in row.items()})
+
+
+def union_clicks_views(sf_dir: str):
+    """U1: union of two filtered streams (disjoint predicates →
+    UNION ALL semantics)."""
+    import pyarrow.compute as pc
+
+    def keep(event_type):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], pa.scalar(event_type)))
+
+        return fn
+
+    ds = _events(sf_dir, ["event_id", "event_type"])
+    clicks = ds.map_batches(keep("click"), batch_format="pyarrow", zero_copy_batch=True)
+    views = ds.map_batches(keep("view"), batch_format="pyarrow", zero_copy_batch=True)
+    return clicks.union(views).select_columns(["event_id"])
+
+
+def users_click_and_purchase(sf_dir: str):
+    """U2 INTERSECT: users appearing in BOTH event streams — union the
+    flagged key sets, one keyed groupby keeps keys seen with both flags
+    (the hash-partition intersect idiom; Ray has no native INTERSECT)."""
+    import pyarrow.compute as pc
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def flag(event_type, val):
+        def fn(t: pa.Table) -> pa.Table:
+            f = t.filter(pc.equal(t["event_type"], pa.scalar(event_type)))
+            return pa.table(
+                {
+                    "user_id": f["user_id"],
+                    "flag": pa.array([val] * f.num_rows, pa.int64()),
+                }
+            )
+
+        return fn
+
+    a = ds.map_batches(flag("click", 1), batch_format="pyarrow", zero_copy_batch=True)
+    b = ds.map_batches(flag("purchase", 2), batch_format="pyarrow", zero_copy_batch=True)
+
+    def both(g: pd.DataFrame) -> pd.DataFrame:
+        if set(g["flag"]) >= {1, 2}:
+            return pd.DataFrame({"user_id": [g["user_id"].iloc[0]]})
+        return pd.DataFrame({"user_id": []}).astype("int64")
+
+    return a.union(b).groupby("user_id").map_groups(both, batch_format="pandas")
