@@ -148,13 +148,24 @@ def _q_simhash_dups(sf_dir: str):
 
 
 def _q_embedding_dedup(sf_dir: str):
+    import pandas as pd
     import ray.data as rd
 
     from crawtext_ray.stages.similarity import embedding_dedup
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.take(1)[0]["embedding"])
-    return embedding_dedup(emb, dim=dim, threshold=0.95)
+    df = embedding_dedup(emb, dim=dim, threshold=0.95).to_pandas()
+    if df.empty:
+        # random embeddings contain no near-dups; keep the schema stable
+        df = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "rep_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+    return df
 
 
 def _q_ann_lsh(sf_dir: str):
