@@ -36,26 +36,27 @@ def build_articles(
     num_partitions: int = 64,
     skew_break: bool = True,
     batch_size: int = 64,
-    concurrency=(1, 8),
+    concurrency="tasks",
 ):
     """pages → articles Dataset (lazy; no sink).
 
-    ``skew_break``: True (default) = zero-cost streaming skew break
-    (shuffled file order + randomized block order; see
-    partitioning.streaming_skew_break for the measurements);
-    "repartition" = full url-hash keyed repartition before extraction
-    (pays an all-to-all of raw html — only worth it when a downstream
-    stage needs key co-location pre-extract)."""
-    from ..stages.partitioning import streaming_skew_break
+    ``skew_break``: True (default) = zero-cost skew break — shuffled
+    FILE order at the scan (host-clustered dumps land on different
+    workers) while keeping the read and the extract stage fusable into
+    one operator (a RandomizeBlockOrder between them would split the
+    fusion; dynamic batch scheduling absorbs remaining block-level
+    variance). "repartition" = full url-hash keyed repartition before
+    extraction (pays an all-to-all of raw html — only worth it when a
+    downstream stage needs key co-location pre-extract).
 
+    ``concurrency="tasks"`` (default) = the fused stateless-task extract
+    (fastest, no tuning); pass an int/(min,max) for the actor-pool mode."""
     ds = read_pages(pages_path,
                     shuffle="files" if skew_break else None)
     if skew_break == "repartition":
         ds = add_url_hash(ds, num_buckets=num_partitions)
         ds = keyed_repartition(ds, num_partitions, ["url_hash"])
         ds = ds.drop_columns(["url_hash"])
-    elif skew_break:
-        ds = streaming_skew_break(ds)
     return extract_articles(
         ds,
         rule_lines=rule_lines,
@@ -79,15 +80,10 @@ def run_extract_job(
 
     Called by ``python -m crawtext_ray.run`` (the ``ray job submit``
     entrypoint, SURVEY.md §3.1)."""
-    import ray
-
     from ..state.lineage import write_partitioned
 
     if concurrency is None:
-        # fixed pool sized to the cluster, leaving ~1/8 of CPUs for the
-        # parquet read/decode stage (see BASELINE.md tuning notes)
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = max(2, cpus - max(1, cpus // 8))
+        concurrency = "tasks"  # fused task mode needs no pool sizing
 
     t0 = time.time()
     done = completed_partitions(out_dir)

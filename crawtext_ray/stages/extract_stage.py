@@ -113,18 +113,62 @@ class ExtractArticles:
         return tbl.select([f.name for f in ARTICLES_SCHEMA])
 
 
+# per-worker-process stage cache for the task-fused mode: Ray reuses
+# worker processes across tasks, so the compiled state (rules trie,
+# stopword tables, query AST) is built once per worker — the same
+# stateful reuse an actor pool gives, without pinning CPUs to a pool.
+_WORKER_STAGE_CACHE: dict = {}
+
+
+def make_extract_fn(rule_lines: list[str] | None = None,
+                    query_expression: str | None = None):
+    key = (tuple(rule_lines) if rule_lines is not None else None,
+           query_expression)
+
+    def extract_fn(batch: pa.Table) -> pa.Table:
+        stage = _WORKER_STAGE_CACHE.get(key)
+        if stage is None:
+            stage = _WORKER_STAGE_CACHE[key] = ExtractArticles(
+                rule_lines=list(key[0]) if key[0] is not None else None,
+                query_expression=query_expression,
+            )
+        return stage(batch)
+
+    return extract_fn
+
+
 def extract_articles(
     pages,
     rule_lines: list[str] | None = None,
     query_expression: str | None = None,
     batch_size: int = 64,
-    concurrency=(1, 8),
+    concurrency="tasks",
     num_cpus: float = 1,
 ):
-    """Wire the actor-pool stage onto a pages Dataset.
+    """Wire the extraction stage onto a pages Dataset.
+
+    Two modes:
+
+    - ``concurrency="tasks"`` (default): stateless-task stage with
+      per-worker-process cached state. Ray Data FUSES it with the
+      parquet read into one operator — html bytes never take a plasma
+      hop, no pool sizing needed, and throughput measured 25% higher
+      than the best-tuned actor pool (11.5k vs 9.2k docs/s at 32 cpus
+      on 100k pages; see BASELINE.md).
+    - ``concurrency=<int | (min,max)>``: classic actor pool
+      (BASELINE.json:6's "parser instances ... held in actor pools") —
+      use when the stage must pin resources (e.g. sharing a node with
+      other pools) or hold heavyweight models.
 
     ``batch_size`` defaults small (64) because html rows can be 100 KiB+
     (SURVEY.md §7.4: keep a batch of html bytes ~32–64 MiB)."""
+    if concurrency == "tasks" or concurrency is None:
+        return pages.map_batches(
+            make_extract_fn(rule_lines, query_expression),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
     return pages.map_batches(
         ExtractArticles,
         fn_constructor_kwargs={

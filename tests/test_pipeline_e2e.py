@@ -89,6 +89,14 @@ def test_idempotence_identical_bytes(ray_session, pages_small):
     )
     # different partitioning, same bytes
     assert a.equals(b)
+    # task-fused mode produces the same bytes as the actor-pool mode
+    c = (
+        build_articles(pages_small, num_partitions=2, concurrency="tasks")
+        .to_pandas()[["url", "content_sha256"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert a.equals(c)
 
 
 def test_lineage_resume(ray_session, pages_small, tmp_path):
