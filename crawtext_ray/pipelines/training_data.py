@@ -95,9 +95,9 @@ def drop_near_dups(articles, num_perm: int = 64, bands: int = 16,
             mask = [u not in self.dups for u in batch["url"].to_pylist()]
             return batch.filter(pa.array(mask, pa.bool_()))
 
-    return articles.map_batches(
-        DropDups, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
-    )
+    from ..stages.fusion import map_stage
+
+    return map_stage(articles, DropDups)
 
 
 def curate(
@@ -105,7 +105,7 @@ def curate(
     out_dir: str | None = None,
     query_expression: str | None = None,
     num_partitions: int = 16,
-    concurrency=(1, 8),
+    concurrency="tasks",
     min_words: int = 20,
 ):
     """Full curation chain; returns the curated articles Dataset (written

@@ -65,16 +65,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.curate:
             from crawtext_ray.pipelines.training_data import curate
 
-            # curation chains TWO actor pools (extract, minhash) plus keyed
-            # shuffles in one pipeline: the extract pool gets only half the
-            # CPUs or the downstream stages starve and the pipeline stalls
-            cpus = args.num_cpus
+            # task-fused stages throughout: no pool sizing, no
+            # multi-pool starvation (stages share the CPU pool naturally)
             curated = curate(
                 args.input,
                 out_dir=args.out,
                 query_expression=args.query,
                 num_partitions=args.partitions,
-                concurrency=max(2, cpus // 2),
+                concurrency="tasks",
                 min_words=args.min_words,
             )
             print(json.dumps({"out_dir": args.out, "rows": curated.count()}))

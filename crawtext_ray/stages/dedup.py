@@ -58,9 +58,9 @@ def drop_seen(ds, seen_keys, key: str = "url"):
             mask = [k not in self.seen for k in batch[key].to_pylist()]
             return batch.filter(pa.array(mask, pa.bool_()))
 
-    return ds.map_batches(
-        AntiJoin, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
-    )
+    from .fusion import map_stage
+
+    return map_stage(ds, AntiJoin)
 
 
 # ------------------------------------------------- exact content dedup ----
@@ -202,18 +202,14 @@ def minhash_lsh_duplicates(
     Scale notes: the exchange carries bands×rows tiny rows; signatures
     are never re-shipped; the per-bucket work is O(bucket²)-free (we only
     emit min-id representatives, full verification is a separate op)."""
-    banded = ds.map_batches(
-        _MinHashBands,
-        fn_constructor_kwargs={
-            "num_perm": num_perm,
-            "bands": bands,
-            "shingle_k": shingle_k,
-            "text_col": text_col,
-            "id_col": id_col,
-        },
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
+    from .fusion import map_stage
+
+    banded = map_stage(
+        ds,
+        lambda: _MinHashBands(num_perm=num_perm, bands=bands,
+                              shingle_k=shingle_k, text_col=text_col,
+                              id_col=id_col),
+        concurrency=concurrency if isinstance(concurrency, int) else "tasks",
     )
 
     def bucket_rep(g: pd.DataFrame) -> pd.DataFrame:
@@ -284,13 +280,9 @@ def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
     """SimHash fingerprints (near-dup by small hamming distance). Banded
     grouping on 16-bit quarters finds candidates whose distance is
     concentrated in the other bands."""
-    return ds.map_batches(
-        _SimHash,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
-    )
+    from .fusion import map_stage
+
+    return map_stage(ds, lambda: _SimHash(text_col, id_col))
 
 
 def simhash_duplicates(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -369,9 +361,9 @@ def verify_pairs_jaccard(ds_pairs, docs_lookup, text_col: str = "text",
                 pa.compute.greater_equal(out["jaccard"], pa.scalar(threshold))
             )
 
-    return ds_pairs.map_batches(
-        Verify, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
-    )
+    from .fusion import map_stage
+
+    return map_stage(ds_pairs, Verify)
 
 
 # ------------------------------------------- connected components ----

@@ -33,8 +33,9 @@ def anti_join_broadcast(ds, seen_keys, key: str = "url"):
             mask = [k not in self.seen for k in batch[key].to_pylist()]
             return batch.filter(pa.array(mask, pa.bool_()))
 
-    return ds.map_batches(Mask, batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=(1, 4))
+    from .fusion import map_stage
+
+    return map_stage(ds, Mask)
 
 
 def anti_join_grouped(new_ds, seen_ds, key: str = "url"):
@@ -113,10 +114,9 @@ def bfs_crawl(pages_ds, seed_urls: list[str], max_depth: int = 2,
                 mask = [u in self.f for u in batch["url"].to_pylist()]
                 return batch.filter(pa.array(mask, pa.bool_()))
 
-        subset = pages_ds.map_batches(
-            InFrontier, batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=(1, 4),
-        )
+        from .fusion import map_stage
+
+        subset = map_stage(pages_ds, InFrontier)
         articles = extract_fn(subset).materialize()
         rounds.append(articles)
         if depth == max_depth:

@@ -80,13 +80,12 @@ def decode_image_features(ds, decode: str = "fake", batch_size: int = 16,
                           concurrency=(1, 4)):
     """Small batches: payload rows are large; batch bytes stay bounded
     (SURVEY.md §4.3 memory-pressure rule)."""
-    return ds.map_batches(
-        DecodeImageFeatures,
-        fn_constructor_kwargs={"decode": decode},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    from .fusion import map_stage
+
+    return map_stage(
+        ds, lambda: DecodeImageFeatures(decode=decode),
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency if isinstance(concurrency, int) else "tasks",
     )
 
 
@@ -123,11 +122,10 @@ class SampleFrames:
 
 
 def sample_frames(ds, every_n: int = 10, batch_size: int = 8, concurrency=(1, 4)):
-    return ds.map_batches(
-        SampleFrames,
-        fn_constructor_kwargs={"every_n": every_n},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    from .fusion import map_stage
+
+    return map_stage(
+        ds, lambda: SampleFrames(every_n=every_n),
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency if isinstance(concurrency, int) else "tasks",
     )

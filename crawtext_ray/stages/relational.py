@@ -239,8 +239,9 @@ def orders_by_segment_broadcast(sf_dir: str):
             return t.filter(pa.compute.is_valid(t["c_mktsegment"]))
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    ds = ds.map_batches(Attach, batch_format="pyarrow", zero_copy_batch=True,
-                        concurrency=(1, 4))
+    from .fusion import map_stage
+
+    ds = map_stage(ds, Attach)
     return ds.groupby("c_mktsegment").aggregate(Count(alias_name="n_orders"))
 
 
@@ -431,8 +432,9 @@ def customers_per_region(sf_dir: str):
             return t.filter(pa.compute.is_valid(t["r_name"]))
 
     ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
-    ds = ds.map_batches(Attach, batch_format="pyarrow", zero_copy_batch=True,
-                        concurrency=(1, 4))
+    from .fusion import map_stage
+
+    ds = map_stage(ds, Attach)
     return ds.groupby(["r_name", "n_name"]).aggregate(Count(alias_name="n_customers"))
 
 

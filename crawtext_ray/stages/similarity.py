@@ -71,14 +71,10 @@ def brute_force_topk(ds, queries: dict, k: int = 10,
     import ray
 
     ref = ray.put(queries)
-    partials = ds.map_batches(
-        _BruteTopK,
-        fn_constructor_kwargs={
-            "queries_ref": ref, "k": k, "id_col": id_col, "vec_col": vec_col,
-        },
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
+    from .fusion import map_stage
+
+    partials = map_stage(
+        ds, lambda: _BruteTopK(ref, k, id_col, vec_col)
     )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -113,15 +109,10 @@ class _LshBucket:
 
 def add_lsh_bucket(ds, dim: int, n_planes: int = 8, seed: int = 11,
                    id_col: str = "vec_id", vec_col: str = "embedding"):
-    return ds.map_batches(
-        _LshBucket,
-        fn_constructor_kwargs={
-            "dim": dim, "n_planes": n_planes, "seed": seed,
-            "id_col": id_col, "vec_col": vec_col,
-        },
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
+    from .fusion import map_stage
+
+    return map_stage(
+        ds, lambda: _LshBucket(dim, n_planes, seed, id_col, vec_col)
     )
 
 
@@ -185,9 +176,9 @@ def lsh_bucket_topk(ds, queries: dict, dim: int, k: int = 10,
                 }
             )
 
-    partials = filtered.map_batches(
-        BucketTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
-    )
+    from .fusion import map_stage
+
+    partials = map_stage(filtered, BucketTopK)
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True],
@@ -276,8 +267,9 @@ def add_ivf_cluster(ds, centroids: np.ndarray, id_col: str = "vec_id",
                 "ivf_cluster", pa.array(assign.astype(np.int64), pa.int64())
             )
 
-    return ds.map_batches(Assign, batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=(1, 8))
+    from .fusion import map_stage
+
+    return map_stage(ds, Assign)
 
 
 def ivf_topk(ds, queries: dict, centroids: np.ndarray, k: int = 10,
@@ -344,9 +336,9 @@ def ivf_topk(ds, queries: dict, centroids: np.ndarray, k: int = 10,
                 }
             )
 
-    partials = filtered.map_batches(
-        ProbeTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
-    )
+    from .fusion import map_stage as _map_stage
+
+    partials = _map_stage(filtered, ProbeTopK)
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True],

@@ -60,14 +60,12 @@ class TextFeatures:
 
 
 def text_features(ds, text_col: str = "text", id_col: str = "doc_id",
-                  lang_col: str | None = "lang", concurrency=(1, 8)):
-    return ds.map_batches(
-        TextFeatures,
-        fn_constructor_kwargs={
-            "text_col": text_col, "id_col": id_col, "lang_col": lang_col,
-        },
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+                  lang_col: str | None = "lang", concurrency="tasks"):
+    from .fusion import map_stage
+
+    return map_stage(
+        ds,
+        lambda: TextFeatures(text_col=text_col, id_col=id_col, lang_col=lang_col),
         concurrency=concurrency,
     )
 
@@ -102,6 +100,6 @@ def relevance_filter(ds, expression: str, text_col: str = "text",
             mask = [self.q.match(t or "") for t in texts]
             return batch.filter(pa.array(mask, pa.bool_()))
 
-    return ds.map_batches(
-        Match, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
-    )
+    from .fusion import map_stage
+
+    return map_stage(ds, Match)

@@ -69,5 +69,6 @@ def bloom_anti_join(ds, bloom: "BloomFilter | object", key: str = "url"):
             mask = [k not in self.bloom for k in batch[key].to_pylist()]
             return batch.filter(pa.array(mask, pa.bool_()))
 
-    return ds.map_batches(Drop, batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=(1, 4))
+    from ..stages.fusion import map_stage
+
+    return map_stage(ds, Drop)
