@@ -13,7 +13,6 @@ the corpus. The near-dup stage exchanges only (band_key, url) rows.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 from ..stages.dedup import minhash_lsh_duplicates

@@ -4,7 +4,6 @@ counting, fingerprinting, relevance filtering (M7 as a Dataset op)."""
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 from ..extract.query import Query

@@ -62,7 +62,9 @@ def write_partition(df: pd.DataFrame, out_dir: str, pid: int,
     data_path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
     tmp_path = data_path + ".tmp"
     table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
-    pq.write_table(table, tmp_path)
+    # low-cardinality columns dictionary-encode at rest (SURVEY.md §1.2)
+    dict_cols = [c for c in ("lang", "status") if c in table.column_names]
+    pq.write_table(table, tmp_path, use_dictionary=dict_cols or False)
     os.replace(tmp_path, data_path)
 
     record = {
