@@ -101,13 +101,9 @@ def extract_article(
     use_lang = resolve_language(lang, meta_lang, root.text_content())
     result["lang"] = use_lang
 
-    # F3 element hiding, then C1–C6
-    cleaners.remove_comments(root)
-    cleaners.remove_scripts_styles(root)
-    if rules is not None:
-        rules.hide_elements(root)
-    cleaners.remove_naughty_nodes(root)
-    cleaners.remove_targeted_nodes(root)
+    # C1 + C2 + F3 + C3 + C4 fused into one removal walk (byte-identical
+    # to the sequential passes; see cleaners.remove_unwanted), then C5/C6
+    cleaners.remove_unwanted(root, rules)
     cleaners.clean_em_tags(root)
     cleaners.remove_drop_caps(root)
     cleaners.clean_para_spans(root)
