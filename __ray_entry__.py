@@ -47,7 +47,7 @@ def entry() -> Any:
                     columns=["lang"]).count()
 
     pages = _pages_dir("/root/testdata/sf0.001")
-    articles = build_articles(pages, num_partitions=8, concurrency=4)
+    articles = build_articles(pages, num_partitions=8, concurrency="tasks")
     return articles.select_columns(
         ["url", "lang", "title", "status", "n_words", "relevant"]
     )
@@ -59,7 +59,7 @@ def entry() -> Any:
 def _q_extract_articles(sf_dir: str):
     from crawtext_ray.pipelines.flagship import build_articles
 
-    arts = build_articles(_pages_dir(sf_dir), num_partitions=8, concurrency=4)
+    arts = build_articles(_pages_dir(sf_dir), num_partitions=8, concurrency="tasks")
     return arts.select_columns(["url", "lang", "title", "status", "n_words"])
 
 
@@ -68,7 +68,7 @@ def _q_extract_report_lang(sf_dir: str):
     from crawtext_ray.stages.report import report_lang
 
     return report_lang(build_articles(_pages_dir(sf_dir), num_partitions=8,
-                                      concurrency=4))
+                                      concurrency="tasks"))
 
 
 def _q_extract_report_status(sf_dir: str):
@@ -76,7 +76,7 @@ def _q_extract_report_status(sf_dir: str):
     from crawtext_ray.stages.report import report_status
 
     return report_status(build_articles(_pages_dir(sf_dir), num_partitions=8,
-                                        concurrency=4))
+                                        concurrency="tasks"))
 
 
 def _q_top_domains_pages(sf_dir: str):
@@ -84,7 +84,7 @@ def _q_top_domains_pages(sf_dir: str):
     from crawtext_ray.stages.report import top_domains
 
     return top_domains(
-        build_articles(_pages_dir(sf_dir), num_partitions=8, concurrency=4), k=10
+        build_articles(_pages_dir(sf_dir), num_partitions=8, concurrency="tasks"), k=10
     )
 
 
@@ -207,6 +207,21 @@ def _q_ann_ivf(sf_dir: str):
     return ivf_topk(emb, queries, cents, k=10, nprobe=4)
 
 
+def _q_bfs_crawl(sf_dir: str):
+    """T2 BFS rounds over the synthetic pages corpus (rows-only)."""
+    import ray.data as rd
+
+    from crawtext_ray.stages.frontier import bfs_crawl
+
+    pages = rd.read_parquet(_pages_dir(sf_dir))
+    seeds = [r["url"] for r in pages.take(3)]
+    rounds, _seen = bfs_crawl(pages, seeds, max_depth=1)
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.union(r)
+    return out.select_columns(["url", "status", "n_words"])
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing: documents.text bytes as fake binary payloads
     → decode/feature actor stage (decode kernel stubbed: no image libs)."""
@@ -287,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_features_docs": _q_text_features,
         # multimodal plumbing (rows-only; decode stubbed)
         "media_features": _q_media_features,
+        "bfs_crawl_pages": _q_bfs_crawl,
         # flagship extraction over synthetic pages (rows-only: non-SQL)
         "extract_articles": _q_extract_articles,
         "extract_report_lang": _q_extract_report_lang,
