@@ -33,10 +33,23 @@ BAD_EXTENSIONS = frozenset(
 ALLOWED_SCHEMES = frozenset(["http", "https"])
 
 
+import re as _re
+
+# already-canonical absolute url: lowercase scheme+host, no port, no
+# query/fragment, non-empty path without trailing whitespace — the
+# overwhelmingly common outlink shape; bypasses urlsplit entirely
+_FAST_CANON = _re.compile(
+    r"^(https?)://([a-z0-9](?:[a-z0-9.\-]*[a-z0-9])?)(/[^/?#\s][^?#\s]*)?$"
+)
+
+
 def canon_url(base: str, href: str) -> str:
     """M1: canonical absolute URL, or "" when the result is unusable."""
     try:
         href = href.strip()
+        m = _FAST_CANON.match(href)
+        if m:
+            return f"{m.group(1)}://{m.group(2)}{m.group(3) or ''}"
         if not base or href.startswith(("http://", "https://")):
             absu = href  # urljoin(base, absolute) == absolute; skip the work
         else:
