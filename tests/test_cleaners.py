@@ -89,3 +89,27 @@ def test_c6_mixed_div_wraps_runs():
     assert div.children[0].text_content() == "lead text"
     assert div.children[1].text_content() == "real para"
     assert div.children[2].text_content() == "trailing run"
+
+
+def test_fused_remove_unwanted_equals_sequential():
+    """The fused single-pass removal must produce the same tree as the
+    sequential C1→C2→F3→C3→C4 passes on generator pages."""
+    from crawtext_ray.extract.adblock import default_rules
+    from crawtext_ray.extract.dom import parse_html, serialize
+    from crawtext_ray.extract.encoding import decode_html
+    from fixtures.gen_pages import build_page
+
+    rules = default_rules()
+    for row_id in (0, 13, 77, 256, 999):
+        html, _ = decode_html(build_page(row_id)["html"])
+        a = parse_html(html)
+        cleaners.remove_unwanted(a, rules)
+
+        b = parse_html(html)
+        cleaners.remove_comments(b)
+        cleaners.remove_scripts_styles(b)
+        rules.hide_elements(b)
+        cleaners.remove_naughty_nodes(b)
+        cleaners.remove_targeted_nodes(b)
+
+        assert serialize(a) == serialize(b), f"divergence on row {row_id}"

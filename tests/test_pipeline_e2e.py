@@ -147,3 +147,22 @@ def test_relevance_query_filters(ray_session, pages_small):
     for _, row in sample.iterrows():
         text = (row["title"] + "\n" + row["extracted_text"]).lower()
         assert any(w in text for w in ("market", "marché", "markt", "mercado"))
+
+
+def test_keyed_repartition_mode_preserves_rows(ray_session, pages_small):
+    """skew_break='repartition' (url-hash keyed pre-extract exchange)
+    yields the same row set and bytes as the streaming default."""
+    from crawtext_ray.pipelines.flagship import build_articles
+
+    a = (
+        build_articles(pages_small, num_partitions=4, skew_break="repartition",
+                       concurrency="tasks")
+        .to_pandas()[["url", "content_sha256"]]
+        .sort_values("url").reset_index(drop=True)
+    )
+    b = (
+        build_articles(pages_small, num_partitions=4, concurrency="tasks")
+        .to_pandas()[["url", "content_sha256"]]
+        .sort_values("url").reset_index(drop=True)
+    )
+    assert a.equals(b)
