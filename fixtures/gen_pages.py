@@ -35,7 +35,8 @@ LANGS = ["en", "fr", "de", "es"]
 LANG_W = [0.55, 0.20, 0.15, 0.10]
 SECTIONS = ["news", "tech", "sport", "culture", "science", "world", "local"]
 
-SIZES = {"small": (1_000, 1), "mid": (10_000, 8), "large": (100_000, 64)}
+SIZES = {"small": (1_000, 1), "mid": (10_000, 8), "large": (100_000, 64),
+         "xl": (250_000, 64)}
 
 PAGES_SCHEMA = pa.schema(
     [
@@ -265,7 +266,8 @@ def _gen_shard(args: tuple[int, int, int, str, str]) -> str:
     )
     path = os.path.join(out_dir, f"pages_{name}", f"part-{shard_id:05d}.parquet")
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    pq.write_table(t, path)
+    pq.write_table(t, path + ".tmp")
+    os.replace(path + ".tmp", path)  # atomic: concurrent generators are safe
     truth = pa.Table.from_pylist(
         [
             {
@@ -280,7 +282,8 @@ def _gen_shard(args: tuple[int, int, int, str, str]) -> str:
     )
     tpath = os.path.join(out_dir, f"truth_{name}", f"part-{shard_id:05d}.parquet")
     os.makedirs(os.path.dirname(tpath), exist_ok=True)
-    pq.write_table(truth, tpath)
+    pq.write_table(truth, tpath + ".tmp")
+    os.replace(tpath + ".tmp", tpath)
     return path
 
 
