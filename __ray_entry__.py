@@ -207,6 +207,36 @@ def _q_ann_ivf(sf_dir: str):
     return ivf_topk(emb, queries, cents, k=10, nprobe=4)
 
 
+def _q_pdf_extract(sf_dir: str):
+    """PDF/layout parse leg (north rule): documents.text synthesized into
+    real single-page Flate PDFs, extracted back by the from-scratch PDF
+    parser (rows-only: text round-trip is asserted in tests/test_pdf.py)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawtext_ray.extract.pdf import make_pdf
+    from crawtext_ray.stages.pdf_stage import extract_pdf_texts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def to_pdf(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(
+                    [make_pdf([(t or "")[:2000]]) for t in batch["text"].to_pylist()],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    pdfs = docs.map_batches(to_pdf, batch_format="pyarrow", zero_copy_batch=True)
+    return extract_pdf_texts(pdfs).select_columns(
+        ["doc_id", "n_pages", "pdf_status", "n_chars"]
+    )
+
+
 def _q_bfs_crawl(sf_dir: str):
     """T2 BFS rounds over the synthetic pages corpus (rows-only)."""
     import ray.data as rd
@@ -303,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (rows-only; decode stubbed)
         "media_features": _q_media_features,
         "bfs_crawl_pages": _q_bfs_crawl,
+        "pdf_extract": _q_pdf_extract,
         # flagship extraction over synthetic pages (rows-only: non-SQL)
         "extract_articles": _q_extract_articles,
         "extract_report_lang": _q_extract_report_lang,

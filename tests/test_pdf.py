@@ -1,0 +1,66 @@
+"""PDF text extraction (north rule: "PDF/layout parse")."""
+
+from crawtext_ray.extract.pdf import extract_pdf_text, make_pdf
+
+
+def test_roundtrip_simple():
+    paras = ["First paragraph with words.", "Second one."]
+    res = extract_pdf_text(make_pdf(paras))
+    assert res["status"] == "ok"
+    assert res["n_pages"] == 1
+    assert "First paragraph with words." in res["text"]
+    assert "Second one." in res["text"]
+
+
+def test_escapes_and_latin1():
+    paras = ["Parens (x) and backslash \\ ok.", "café déjà"]
+    res = extract_pdf_text(make_pdf(paras))
+    assert "Parens (x) and backslash \\ ok." in res["text"]
+    assert "café déjà" in res["text"]
+
+
+def test_non_pdf_and_garbage_never_raise():
+    assert extract_pdf_text(b"plain text")["status"] == "not_pdf"
+    assert extract_pdf_text(b"")["status"] == "not_pdf"
+    assert extract_pdf_text(b"%PDF-1.4 \x00garbage")["status"] in ("empty", "unsupported")
+    # truncated real pdf
+    pdf = make_pdf(["hello world paragraph"])
+    assert isinstance(extract_pdf_text(pdf[: len(pdf) // 2]), dict)
+
+
+def test_uncompressed_stream():
+    # hand-built object with an uncompressed content stream
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 44 >>\nstream\n"
+        b"BT /F1 12 Tf (Uncompressed text works) Tj ET\nendstream\nendobj\n"
+    )
+    res = extract_pdf_text(raw)
+    assert "Uncompressed text works" in res["text"]
+
+
+def test_tj_array_kerning_gap():
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 60 >>\nstream\n"
+        b"BT [(Hel) -20 (lo) -300 (world)] TJ ET\nendstream\nendobj\n"
+    )
+    res = extract_pdf_text(raw)
+    # small kern joins, large kern becomes a word gap
+    assert "Hello world" in res["text"]
+
+
+def test_ray_pdf_stage(ray_session):
+    import ray.data as rd
+
+    from crawtext_ray.stages.pdf_stage import extract_pdf_texts
+
+    rows = [
+        {"doc_id": i, "payload": make_pdf([f"Document number {i} body text."])}
+        for i in range(20)
+    ]
+    rows.append({"doc_id": 99, "payload": b"not a pdf"})
+    out = extract_pdf_texts(rd.from_items(rows)).to_pandas()
+    assert len(out) == 21
+    ok = out[out["pdf_status"] == "ok"]
+    assert len(ok) == 20
+    assert (ok["n_chars"] > 0).all()
+    assert out[out["doc_id"] == 99]["pdf_status"].iloc[0] == "not_pdf"
