@@ -14,7 +14,11 @@ from functools import lru_cache
 from importlib import resources as _ilr
 
 DEFAULT_LANGUAGE = "en"
+# extraction contract languages (frozen — goldens depend on this set)
 KNOWN_LANGUAGES = ("en", "fr", "de", "es")
+# wider set for the language-id heuristic (safe to extend: language_id is
+# a training-data op, not part of the byte-identity contract)
+LANGID_LANGUAGES = ("en", "fr", "de", "es", "it", "pt", "nl")
 
 # translation table dropping every unicode punctuation codepoint; built once.
 _PUNCT_TABLE = {
@@ -34,7 +38,7 @@ def tokenize(text: str) -> list[str]:
 @lru_cache(maxsize=None)
 def stopword_set(lang: str) -> frozenset[str]:
     lang = (lang or DEFAULT_LANGUAGE).lower()[:2]
-    if lang not in KNOWN_LANGUAGES:
+    if lang not in LANGID_LANGUAGES:
         lang = DEFAULT_LANGUAGE
     ref = _ilr.files("crawtext_ray") / "resources" / f"stopwords-{lang}.txt"
     words = ref.read_text(encoding="utf-8").split()

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import re
 
-from ..extract.stopwords import KNOWN_LANGUAGES, stopword_set
+from ..extract.stopwords import LANGID_LANGUAGES, stopword_set
 
 _WS_TOKEN = re.compile(r"\S+")
 _BPE_TOKEN = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")
@@ -31,15 +31,24 @@ def token_count(text: str) -> int:
     return len(_BPE_TOKEN.findall(text))
 
 
+def _cjk_ratio(text: str) -> float:
+    if not text:
+        return 0.0
+    cjk = sum(1 for ch in text if "\u4e00" <= ch <= "\u9fff")
+    return cjk / len(text)
+
+
 def language_id(text: str) -> str:
-    """n-gram/stopword heuristic language id: argmax stopword hit-rate
-    over the known language tables; 'und' when nothing matches (e.g.
-    unsupported scripts)."""
+    """Heuristic language id: CJK-script ratio check for zh, else argmax
+    stopword hit-rate over the langid tables (en/fr/de/es/it/pt/nl);
+    'und' when nothing matches."""
+    if _cjk_ratio(text) > 0.25:
+        return "zh"
     toks = _WORD.findall(text.lower())
     if not toks:
         return "und"
     best, best_hits = "und", 0
-    for lang in KNOWN_LANGUAGES:
+    for lang in LANGID_LANGUAGES:
         sw = stopword_set(lang)
         hits = sum(1 for t in toks if t in sw)
         if hits > best_hits:
