@@ -31,7 +31,15 @@ def audit(out_dir: str) -> list[dict]:
         if not os.path.exists(path):
             entry.update(status="missing_data_file", actual=None)
         else:
-            df = pq.read_table(path, columns=["url", "content_sha256"]).to_pandas()
+            try:
+                df = pq.read_table(path, columns=["url", "content_sha256"]).to_pandas()
+            except Exception as e:
+                # a corrupt/truncated part file is exactly what an integrity
+                # auditor exists to flag — report it, keep auditing the rest
+                entry.update(status="unreadable_data_file", actual=None,
+                             error=str(e))
+                results.append(entry)
+                continue
             actual = _partition_checksum(df)
             entry.update(
                 status="ok" if actual == rec["checksum"] else "checksum_mismatch",

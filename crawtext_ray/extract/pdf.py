@@ -57,10 +57,14 @@ def _unescape(lit: bytes) -> bytes:
                 out += _ESCAPES[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():  # octal \ddd (1-3 digits)
+            if nxt in b"01234567":  # octal \ddd (1-3 octal digits only;
+                # \8 and \9 are invalid octal — fall through to the
+                # emit-literal-char branch below, per PDF spec behavior
                 j = i + 1
                 digits = b""
-                while j < len(lit) and len(digits) < 3 and lit[j : j + 1].isdigit():
+                while (
+                    j < len(lit) and len(digits) < 3 and lit[j : j + 1] in b"01234567"
+                ):
                     digits += lit[j : j + 1]
                     j += 1
                 out.append(int(digits, 8) & 0xFF)
@@ -142,7 +146,10 @@ def extract_pdf_text(data: bytes) -> dict:
             continue  # unsupported filter
         if b"BT" not in raw:
             continue
-        t = _content_text(raw)
+        try:
+            t = _content_text(raw)
+        except Exception:
+            continue  # malformed content stream — skip it, keep "never raises"
         if t:
             texts.append(t)
     text = "\n\n".join(texts)

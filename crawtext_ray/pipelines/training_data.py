@@ -103,6 +103,7 @@ def curate(
     pages_path,
     out_dir: str | None = None,
     query_expression: str | None = None,
+    rule_lines: list[str] | None = None,
     num_partitions: int = 16,
     concurrency="tasks",
     min_words: int = 20,
@@ -112,6 +113,7 @@ def curate(
     arts = build_articles(
         pages_path,
         query_expression=query_expression,
+        rule_lines=rule_lines,
         num_partitions=num_partitions,
         concurrency=concurrency,
     )

@@ -32,6 +32,10 @@ def main(argv: list[str] | None = None) -> int:
                          "gate + exact & near dedup) instead of the raw "
                          "extract job")
     ap.add_argument("--min-words", type=int, default=20)
+    ap.add_argument("--hash-shuffle", action="store_true",
+                    help="use the HASH_SHUFFLE strategy (enables keyed "
+                         "repartition with true key co-location; default "
+                         "sort-shuffle measured faster on this workload)")
     args = ap.parse_args(argv)
 
     if args.query:
@@ -55,6 +59,11 @@ def main(argv: list[str] | None = None) -> int:
             logging_level="ERROR",
         )
     try:
+        if args.hash_shuffle:
+            from crawtext_ray.stages.partitioning import use_hash_shuffle
+
+            use_hash_shuffle()
+
         from crawtext_ray.pipelines.flagship import run_extract_job
 
         rule_lines = None
@@ -71,6 +80,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.input,
                 out_dir=args.out,
                 query_expression=args.query,
+                rule_lines=rule_lines,
                 num_partitions=args.partitions,
                 concurrency="tasks",
                 min_words=args.min_words,

@@ -78,9 +78,14 @@ def streaming_skew_break(ds):
 
 
 def use_hash_shuffle() -> None:
-    """Opt the session into HASH_SHUFFLE (called by session owners:
-    bench.py, crawtext_ray.run, tests). Hash shuffle enables keyed
-    repartition and is the better strategy for our keyed groupbys."""
+    """Opt the session into HASH_SHUFFLE, which enables keyed
+    ``repartition(keys=...)`` (true key co-location). OPT-IN, not the
+    default: session owners reach it via ``python -m crawtext_ray.run
+    --hash-shuffle`` (or call this before building a pipeline). The
+    default sort-shuffle measured faster for this workload's bounded-key
+    groupbys on the 32-cpu host (hash shuffle spawns per-partition
+    aggregator actors with a fixed ramp cost), so only enable it when a
+    pipeline needs key co-location across stages."""
     from ray.data.context import DataContext, ShuffleStrategy
 
     DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE

@@ -27,6 +27,19 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+# Empty (query_id, vec_id, cosine) result — the bucket/probe filters can
+# produce zero-row blocks, and np.asarray([]) is 1-D, so every scoring
+# callable early-returns this instead of reaching the matmul.
+def _empty_scores() -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+
+
 class _BruteTopK:
     """Per-batch partial top-k against the broadcast query matrix."""
 
@@ -42,6 +55,8 @@ class _BruteTopK:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_scores()
         ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
         m = _normalize(np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64))
         sims = self.qm @ m.T  # (nq, nb)
@@ -102,6 +117,8 @@ class _LshBucket:
         return signs @ (1 << np.arange(self.planes.shape[1], dtype=np.int64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("lsh_bucket", pa.array([], pa.int64()))
         m = _to_matrix(batch[self.vec_col])
         buckets = self.bucket_of(m)
         return batch.append_column("lsh_bucket", pa.array(buckets, pa.int64()))
@@ -152,6 +169,8 @@ def lsh_bucket_topk(ds, queries: dict, dim: int, k: int = 10,
             self.qbuckets = np.asarray(q["buckets"], dtype=np.int64)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty_scores()
             ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
             m = _normalize(_to_matrix(batch[vec_col]))
             vb = np.asarray(batch["lsh_bucket"].to_pylist(), dtype=np.int64)
@@ -261,6 +280,8 @@ def add_ivf_cluster(ds, centroids: np.ndarray, id_col: str = "vec_id",
             self.cents = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.append_column("ivf_cluster", pa.array([], pa.int64()))
             m = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
             assign = np.argmax(m @ self.cents.T, axis=1)
             return batch.append_column(
@@ -310,6 +331,8 @@ def ivf_topk(ds, queries: dict, centroids: np.ndarray, k: int = 10,
             self.probes = q["probes"]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty_scores()
             ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
             m = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
             vc = np.asarray(batch["ivf_cluster"].to_pylist(), dtype=np.int64)

@@ -28,6 +28,28 @@ def test_non_pdf_and_garbage_never_raise():
     assert isinstance(extract_pdf_text(pdf[: len(pdf) // 2]), dict)
 
 
+def test_invalid_octal_escape_never_raises():
+    # \8 / \9 are not octal digits: the escaped char passes through as a
+    # literal instead of raising ValueError out of int(digits, 8)
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 40 >>\nstream\n"
+        b"BT (bad \\8 escape and \\9 too) Tj ET\nendstream\nendobj\n"
+    )
+    res = extract_pdf_text(raw)
+    assert "bad 8 escape and 9 too" in res["text"]
+
+
+def test_valid_octal_escape():
+    # \101 = 'A'; \12 = newline (2-digit octal); digit AFTER a full 3-digit
+    # escape is literal text
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 40 >>\nstream\n"
+        b"BT (oct \\101\\1015 here) Tj ET\nendstream\nendobj\n"
+    )
+    res = extract_pdf_text(raw)
+    assert "oct AA5 here" in res["text"]
+
+
 def test_uncompressed_stream():
     # hand-built object with an uncompressed content stream
     raw = (

@@ -130,6 +130,26 @@ def test_lineage_resume(ray_session, pages_small, tmp_path):
     assert c1 == c2
 
 
+def test_audit_flags_corrupt_and_missing_partitions(ray_session, pages_small, tmp_path):
+    from crawtext_ray.audit import audit
+    from crawtext_ray.pipelines.flagship import run_extract_job
+
+    out = str(tmp_path / "out")
+    run_extract_job(pages_small, out, num_partitions=4, concurrency=2)
+    assert all(r["status"] == "ok" for r in audit(out))
+
+    # truncate one data file mid-footer (unreadable), delete another
+    import os
+
+    with open(f"{out}/part-00001.parquet", "r+b") as f:
+        f.truncate(17)
+    os.remove(f"{out}/part-00003.parquet")
+    res = {r["partition_id"]: r["status"] for r in audit(out)}
+    assert res[1] == "unreadable_data_file"
+    assert res[3] == "missing_data_file"
+    assert res[0] == "ok" and res[2] == "ok"  # auditor kept going
+
+
 def test_relevance_query_filters(ray_session, pages_small):
     from crawtext_ray.pipelines.flagship import build_articles
 

@@ -107,6 +107,33 @@ def test_lsh_topk_self_found(ray_session):
     assert int(got.sort_values("rank").iloc[0]["vec_id"]) == 5
 
 
+def test_topk_survives_empty_blocks(ray_session):
+    # the lsh/ivf bucket filters can emit zero-row blocks; the scoring
+    # stages must early-return instead of feeding a 1-D empty array to
+    # the matmul (np.AxisError)
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawtext_ray.stages.similarity import brute_force_topk, lsh_bucket_topk
+
+    rng = np.random.default_rng(6)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    items = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(40)]
+    queries = {"query_id": [0], "matrix": vecs[:1].astype(np.float64)}
+
+    # empty dataset with the right schema → every batch is zero rows
+    empty = rd.from_arrow(
+        pa.table({"vec_id": pa.array([], pa.int64()),
+                  "embedding": pa.array([], pa.list_(pa.float32()))})
+    )
+    assert brute_force_topk(empty, queries, k=3).count() == 0
+
+    # tiny blocks so the bucket filter leaves some blocks empty
+    ds = rd.from_items(items, override_num_blocks=20)
+    got = lsh_bucket_topk(ds, queries, dim=8, k=3).to_pandas()
+    assert int(got.sort_values("rank").iloc[0]["vec_id"]) == 0
+
+
 def test_embedding_dedup_finds_copies(ray_session):
     import ray.data as rd
 
