@@ -52,13 +52,66 @@ def quality_gate(
     return articles.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def drop_exact_dups(articles):
+def drop_exact_dups(articles, loser_broadcast_cap: int = 5_000_000):
     """Exact content dedup keyed on content_sha256: keep the earliest
-    warc_ts (tie: lexicographic url). Arrow all the way — the articles
-    schema carries list/struct columns that do not survive a pandas
-    round-trip."""
+    warc_ts (tie: lexicographic url).
+
+    Key-only shuffle: only (content_sha256, url, warc_ts) rows cross the
+    loser-picking groupby — never ``extracted_text`` — then the LOSER
+    urls (the dup fraction, the genuinely small side) come back as a
+    broadcast anti-join over the streaming articles. Exact: no Bloom in
+    this path. When the loser set exceeds ``loser_broadcast_cap`` the
+    stage falls back to the fully distributed full-row groupby (pays the
+    wide shuffle, needs zero driver memory) — the same
+    two-modes-by-threshold shape as ``connected_components``.
+
+    (A native hash semi-join on winners was tried and rejected: Acero
+    joins reject struct/list payload columns, which the articles schema
+    carries.) Assumes url is unique per input row (the pages contract)."""
     import pyarrow.compute as pc
 
+    keys = articles.select_columns(["content_sha256", "url", "warc_ts"])
+
+    def losers_of(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("warc_ts", "ascending"), ("url", "ascending")]
+        )
+        return g.take(idx[1:]).select(["url", "warc_ts"])  # all but the winner
+
+    losers = keys.groupby("content_sha256").map_groups(
+        losers_of, batch_format="pyarrow"
+    ).materialize()
+    n_losers = losers.count()
+    if n_losers == 0:
+        return articles
+    if n_losers <= loser_broadcast_cap:
+        import ray
+
+        # row identity is (url, warc_ts), NOT url alone: a recrawl of the
+        # same url dedupes into the same hash group, so the loser's url
+        # can equal the winner's url
+        loser_keys = frozenset(
+            (r["url"], r["warc_ts"]) for r in losers.iter_rows()
+        )
+        ref = ray.put(loser_keys)
+
+        class DropLosers:
+            def __init__(self):
+                self.losers = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                mask = [
+                    (u, t) not in self.losers
+                    for u, t in zip(batch["url"].to_pylist(),
+                                    batch["warc_ts"].to_pylist())
+                ]
+                return batch.filter(pa.array(mask, pa.bool_()))
+
+        from ..stages.fusion import map_stage
+
+        return map_stage(articles, DropLosers)
+
+    # distributed fallback: exact, no driver memory, full-row exchange
     def pick(g: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
             g, sort_keys=[("warc_ts", "ascending"), ("url", "ascending")]
@@ -69,11 +122,16 @@ def drop_exact_dups(articles):
 
 
 def drop_near_dups(articles, num_perm: int = 64, bands: int = 16,
-                   shingle_k: int = 5):
+                   shingle_k: int = 5, fp_rate: float = 1e-4):
     """MinHash-LSH near-dup removal over extracted text, keyed by url.
-    The candidate pair list is tiny relative to the corpus; it is
-    broadcast back as an anti-join set."""
-    import ray
+
+    The dup-url set is folded into a Bloom filter built DISTRIBUTED
+    (per-block partial filters ORed on the driver — driver memory is
+    O(filter), never O(dup urls)), then applied as a streaming
+    anti-join. A Bloom false positive drops a non-dup article; near-dup
+    removal is already approximate, so ``fp_rate`` only needs to keep
+    that loss negligible (default 1e-4)."""
+    from ..state.bloom import bloom_anti_join, build_bloom
 
     pairs = minhash_lsh_duplicates(
         articles.select_columns(["url", "extracted_text"]),
@@ -82,21 +140,12 @@ def drop_near_dups(articles, num_perm: int = 64, bands: int = 16,
         num_perm=num_perm,
         bands=bands,
         shingle_k=shingle_k,
-    )
-    dup_urls = {r["url"] for r in pairs.take_all()}
-    ref = ray.put(frozenset(dup_urls))
-
-    class DropDups:
-        def __init__(self):
-            self.dups = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = [u not in self.dups for u in batch["url"].to_pylist()]
-            return batch.filter(pa.array(mask, pa.bool_()))
-
-    from ..stages.fusion import map_stage
-
-    return map_stage(articles, DropDups)
+    ).materialize()  # small: one row per near-dup candidate
+    n_dups = pairs.count()
+    if n_dups == 0:
+        return articles
+    bloom = build_bloom(pairs, "url", capacity=n_dups, fp_rate=fp_rate)
+    return bloom_anti_join(articles, bloom, key="url")
 
 
 def curate(
@@ -122,7 +171,12 @@ def curate(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    gated = quality_gate(ok, min_words=min_words)
+    # checkpoint between the extract phase and the dedup phase: both dedup
+    # stages make a key-gathering pass AND a filtering pass over the gated
+    # corpus — materializing here means those passes iterate object-store
+    # blocks (spilling as needed) instead of re-running extraction per pass.
+    # At 100 TB the equivalent checkpoint is a parquet write + re-read.
+    gated = quality_gate(ok, min_words=min_words).materialize()
     deduped = drop_exact_dups(gated)
     curated = drop_near_dups(deduped)
     if out_dir:

@@ -23,6 +23,17 @@ class BloomFilter:
         self.n_hashes = max(1, round((self.n_bits / max(1, capacity)) * math.log(2)))
         self.bits = np.zeros(self.n_bits // 64, dtype=np.uint64)
 
+    @classmethod
+    def with_params(cls, n_bits: int, n_hashes: int) -> "BloomFilter":
+        """Construct from explicit geometry — every worker building a
+        partial filter must share (n_bits, n_hashes) exactly or the ORed
+        result is garbage."""
+        bf = cls.__new__(cls)
+        bf.n_bits = n_bits
+        bf.n_hashes = n_hashes
+        bf.bits = np.zeros(n_bits // 64, dtype=np.uint64)
+        return bf
+
     @staticmethod
     def _h2(key: str) -> tuple[int, int]:
         d = hashlib.md5(key.encode("utf-8")).digest()
@@ -50,6 +61,30 @@ class BloomFilter:
         pos = self._positions(key)
         want = np.uint64(1) << (pos & np.uint64(63))
         return bool(np.all(self.bits[pos >> np.uint64(6)] & want == want))
+
+
+def build_bloom(ds, key: str, capacity: int, fp_rate: float = 0.001) -> BloomFilter:
+    """Distributed Bloom build: each block folds its keys into a partial
+    filter (map side), the driver ORs the fixed-size bit arrays. Driver
+    memory is O(filter size), never O(keys) — the scale-safe replacement
+    for ``take_all()``-then-``add()`` loops."""
+    import pyarrow as pa
+
+    proto = BloomFilter(capacity, fp_rate)
+    n_bits, n_hashes = proto.n_bits, proto.n_hashes
+
+    def block_bits(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter.with_params(n_bits, n_hashes)
+        for k in batch[key].to_pylist():
+            bf.add(k)
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.large_binary())})
+
+    parts = ds.select_columns([key]).map_batches(
+        block_bits, batch_format="pyarrow", zero_copy_batch=True
+    )
+    for row in parts.iter_rows():
+        proto.bits |= np.frombuffer(row["bits"], dtype=np.uint64)
+    return proto
 
 
 def bloom_anti_join(ds, bloom: "BloomFilter | object", key: str = "url"):

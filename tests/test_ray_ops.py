@@ -220,6 +220,83 @@ def test_connected_components_transitive(ray_session):
     assert out[10] == 9 and out[9] == 9
 
 
+def test_connected_components_distributed_matches_driver(ray_session):
+    """driver_cap=0 forces the keyed label-propagation path; labels must
+    equal the driver pointer-jumping path on a chain + a separate pair
+    + a star."""
+    import ray.data as rd
+
+    from crawtext_ray.stages.dedup import connected_components
+
+    edges = [
+        {"doc_id": 5, "rep_id": 3},
+        {"doc_id": 3, "rep_id": 1},
+        {"doc_id": 10, "rep_id": 9},
+        {"doc_id": 21, "rep_id": 20},
+        {"doc_id": 22, "rep_id": 20},
+        {"doc_id": 23, "rep_id": 22},
+    ]
+    pairs = rd.from_items(edges)
+    drv = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs).take_all()}
+    dist = {r["doc_id"]: r["cluster_id"]
+            for r in connected_components(
+                rd.from_items(edges), driver_cap=0).take_all()}
+    assert drv == dist
+    assert dist[5] == dist[3] == dist[1] == 1
+    assert dist[23] == dist[22] == dist[21] == dist[20] == 20
+
+
+def test_minhash_many_dups_no_driver_merge(ray_session):
+    """A corpus where the candidate-pair set is a large fraction of rows
+    (every doc in a clone family) completes and links every clone to the
+    family min — the pair merge is a keyed groupby, not a driver list."""
+    import ray.data as rd
+
+    from crawtext_ray.stages.dedup import minhash_lsh_duplicates
+
+    fams = 10
+    rows = []
+    for f in range(fams):
+        base = " ".join(f"tok{f}x{j} common words here" for j in range(40))
+        for c in range(12):  # 12 clones per family
+            rows.append({"doc_id": f * 100 + c, "text": base})
+    pairs = minhash_lsh_duplicates(
+        rd.from_items(rows), shingle_k=3).to_pandas()
+    # every non-min clone links to its family min, exactly once
+    assert len(pairs) == fams * 11
+    for _, r in pairs.iterrows():
+        assert int(r["rep_id"]) == (int(r["doc_id"]) // 100) * 100
+
+
+def test_minhash_fallback_matches_broadcast(ray_session, docs_with_dups):
+    """dup_bucket_broadcast_cap=0 forces the keyed coarse-partition path;
+    pairs must equal the broadcast path."""
+    from crawtext_ray.stages.dedup import minhash_lsh_duplicates
+
+    a = minhash_lsh_duplicates(docs_with_dups, shingle_k=3).to_pandas()
+    b = minhash_lsh_duplicates(
+        docs_with_dups, shingle_k=3, dup_bucket_broadcast_cap=0
+    ).to_pandas()
+    pa_ = {(int(r["doc_id"]), int(r["rep_id"])) for _, r in a.iterrows()}
+    pb_ = {(int(r["doc_id"]), int(r["rep_id"])) for _, r in b.iterrows()}
+    assert pa_ == pb_ and len(a) == len(b)
+    assert (102, 100) in pa_
+
+
+def test_build_bloom_distributed(ray_session):
+    import ray.data as rd
+
+    from crawtext_ray.state.bloom import build_bloom
+
+    keys = [f"http://ex.com/{i}" for i in range(2000)]
+    ds = rd.from_items([{"url": k} for k in keys], override_num_blocks=8)
+    bf = build_bloom(ds, "url", capacity=2000, fp_rate=1e-4)
+    assert all(k in bf for k in keys)  # no false negatives, across blocks
+    misses = sum(f"http://other.com/{i}" in bf for i in range(2000))
+    assert misses <= 5
+
+
 def test_bloom_incremental_recrawl(ray_session, pages_small):
     """Batch-incremental re-crawl (SURVEY.md §2.10): second run skips
     already-extracted urls via a Bloom anti-join."""

@@ -18,6 +18,19 @@ def test_curate_chain(ray_session, pages_small, tmp_path):
     assert any(f.endswith(".parquet") for f in os.listdir(out))
 
 
+def test_drop_exact_dups_fallback_matches_broadcast(ray_session, pages_small):
+    """loser_broadcast_cap=0 forces the distributed full-row groupby;
+    surviving urls must equal the broadcast loser-set path."""
+    from crawtext_ray.pipelines.flagship import build_articles
+    from crawtext_ray.pipelines.training_data import drop_exact_dups
+
+    arts = build_articles(pages_small, num_partitions=4,
+                          concurrency=2).materialize()
+    a = set(drop_exact_dups(arts).to_pandas()["url"])
+    b = set(drop_exact_dups(arts, loser_broadcast_cap=0).to_pandas()["url"])
+    assert a == b and len(a) > 0
+
+
 def test_seed_file_reader(ray_session, tmp_path):
     from crawtext_ray.sources import read_seed_file
 
