@@ -170,40 +170,37 @@ def _q_embedding_dedup(sf_dir: str):
 
 def _q_ann_lsh(sf_dir: str):
     import numpy as np
-    import pyarrow.parquet as pq
-    import pyarrow as pa
     import ray.data as rd
 
+    from crawtext_ray.stages.relational import read_query_vectors
     from crawtext_ray.stages.similarity import lsh_bucket_topk
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    qdf = qt.filter(pa.compute.less(qt["vec_id"], pa.scalar(3))).to_pandas()
-    queries = {
-        "query_id": qdf["vec_id"].tolist(),
-        "matrix": np.asarray(list(qdf["embedding"]), dtype=np.float32),
-    }
+    queries = read_query_vectors(
+        f"{sf_dir}/embeddings.parquet", 3, dtype=np.float32
+    )
     dim = queries["matrix"].shape[1]
     return lsh_bucket_topk(emb, queries, dim=dim, k=10)
 
 
 def _q_ann_ivf(sf_dir: str):
     import numpy as np
-    import pyarrow as pa
     import pyarrow.parquet as pq
     import ray.data as rd
 
+    from crawtext_ray.stages.relational import read_query_vectors
     from crawtext_ray.stages.similarity import ivf_topk, train_ivf_centroids
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    sample = np.asarray(qt["embedding"].to_pylist()[:512], dtype=np.float32)
+    # quantizer training sample: first 512 rows only (streamed batch read,
+    # not a whole-table driver load)
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=512, columns=["embedding"]))
+    sample = np.asarray(first.column(0).to_pylist(), dtype=np.float32)
     cents = train_ivf_centroids(sample, n_clusters=16)
-    qdf = qt.filter(pa.compute.less(qt["vec_id"], pa.scalar(3))).to_pandas()
-    queries = {
-        "query_id": qdf["vec_id"].tolist(),
-        "matrix": np.asarray(list(qdf["embedding"]), dtype=np.float32),
-    }
+    queries = read_query_vectors(
+        f"{sf_dir}/embeddings.parquet", 3, dtype=np.float32
+    )
     return ivf_topk(emb, queries, cents, k=10, nprobe=4)
 
 

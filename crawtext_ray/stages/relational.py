@@ -84,19 +84,25 @@ def filter_events(sf_dir: str, event_type: str = "click", min_value: float = 50.
 
 
 def word_counts_docs(sf_dir: str):
-    """M9: whitespace word count + BPE-ish token count per doc."""
-    import re
-
-    ws = re.compile(r"\S+")
-    bpe = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")
+    """M9: whitespace word count + BPE-ish token count per doc. Arrow
+    RE2 kernels end-to-end (differentially verified against Python re on
+    the fixture corpus — counts identical)."""
+    import pyarrow.compute as pc
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
+        col = batch["text"]
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_words": pa.array([len(ws.findall(t or "")) for t in texts], pa.int64()),
-                "n_tokens": pa.array([len(bpe.findall(t or "")) for t in texts], pa.int64()),
+                "n_words": pc.cast(
+                    pc.count_substring_regex(col, pattern=r"\S+"), pa.int64()
+                ),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(
+                        col, pattern=r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+                    ),
+                    pa.int64(),
+                ),
             }
         )
 
@@ -107,28 +113,41 @@ def word_counts_docs(sf_dir: str):
 
 def quality_ints_docs(sf_dir: str):
     """Quality-feature integers (ASCII contracts; see oracle): chars,
-    words, punctuation marks, English-stopword hits."""
-    import re
+    words, punctuation marks, English-stopword hits. All Arrow kernels;
+    the stopword count is split_pattern_regex → is_in → bincount (RE2
+    has no lookarounds, so a boundary regex can't express it) —
+    differentially verified against the Python-re path."""
+    import pyarrow.compute as pc
 
     from ..extract.stopwords import stopword_set
 
-    ws = re.compile(r"\S+")
-    punct = re.compile(r"[^A-Za-z0-9_\s]")
-    word = re.compile(r"[a-z0-9]+")
-    sw = stopword_set("en")
+    sw_arr = pa.array(sorted(stopword_set("en")))
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = [t or "" for t in batch["text"].to_pylist()]
+        col = batch["text"]
+        low = pc.utf8_lower(col)
+        toks = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+        arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        widths = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+        hits = pc.is_in(arr.flatten(), value_set=sw_arr).to_numpy(
+            zero_copy_only=False
+        )
+        row_idx = np.repeat(np.arange(len(arr)), widths)
+        n_stop = np.bincount(
+            row_idx, weights=hits, minlength=len(arr)
+        ).astype(np.int64)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_chars_calc": pa.array([len(t) for t in texts], pa.int64()),
-                "n_words": pa.array([len(ws.findall(t)) for t in texts], pa.int64()),
-                "n_punct": pa.array([len(punct.findall(t)) for t in texts], pa.int64()),
-                "n_stop": pa.array(
-                    [sum(1 for w in word.findall(t.lower()) if w in sw) for t in texts],
+                "n_chars_calc": pc.cast(pc.utf8_length(col), pa.int64()),
+                "n_words": pc.cast(
+                    pc.count_substring_regex(col, pattern=r"\S+"), pa.int64()
+                ),
+                "n_punct": pc.cast(
+                    pc.count_substring_regex(col, pattern=r"[^A-Za-z0-9_\s]"),
                     pa.int64(),
                 ),
+                "n_stop": pa.array(n_stop, pa.int64()),
             }
         )
 
@@ -314,24 +333,31 @@ def shipped_before(sf_dir: str, cutoff: str = "1996-01-01"):
 # --- embeddings -----------------------------------------------------------
 
 
+def read_query_vectors(path: str, n_queries: int, dtype=np.float64) -> dict:
+    """Driver-side query-vector pick with ROW-GROUP PUSHDOWN: only row
+    groups whose vec_id stats overlap [0, n_queries) are read — never the
+    whole table."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    qdf = qt.to_pandas().sort_values("vec_id")
+    return {
+        "query_id": qdf["vec_id"].tolist(),
+        "matrix": np.asarray(list(qdf["embedding"]), dtype=dtype),
+    }
+
+
 def embedding_topk_exact(sf_dir: str, k: int = 10, n_queries: int = 3):
     """Brute-force cosine top-k (float64 to match the DuckDB oracle);
     output (query_id, vec_id, rank) — ints only, ties broken by vec_id."""
     from .similarity import brute_force_topk
 
-    import pyarrow.parquet as pq
-
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")  # driver-side tiny read
-    qdf = (
-        qt.filter(pa.compute.less(qt["vec_id"], pa.scalar(n_queries)))
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    queries = {
-        "query_id": qdf["vec_id"].tolist(),
-        "matrix": np.asarray(list(qdf["embedding"]), dtype=np.float64),
-    }
+    queries = read_query_vectors(f"{sf_dir}/embeddings.parquet", n_queries)
     out = brute_force_topk(emb, queries, k=k)
     return out.select_columns(["query_id", "vec_id", "rank"])
 

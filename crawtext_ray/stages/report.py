@@ -56,12 +56,17 @@ def report_status(articles):
 
 
 def _add_domain(batch):
-    batch["domain"] = [domain_of(u) for u in batch["url"]]
-    return batch
+    import pyarrow as pa
+
+    # domain_of is stdlib urlsplit (exact host semantics incl. ports,
+    # userinfo, IPv6 — a regex kernel would drift on those); the batch
+    # stays Arrow so the surrounding pipeline never leaves arrow blocks
+    doms = [domain_of(u) for u in batch["url"].to_pylist()]
+    return batch.append_column("domain", pa.array(doms, pa.string()))
 
 
 def add_domain(ds):
-    return ds.map_batches(_add_domain, batch_format="pandas")
+    return ds.map_batches(_add_domain, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def report_domain(articles):

@@ -16,9 +16,28 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _to_matrix(col) -> np.ndarray:
-    arr = col.to_pylist()
-    return np.asarray(arr, dtype=np.float32)
+def _to_matrix(col, dtype=np.float32) -> np.ndarray:
+    """(n, dim) matrix from a list<float> / fixed_size_list<float> column
+    without a Python round-trip: reshape the flattened child values when
+    every list has the same length (the embedding contract), falling back
+    to to_pylist otherwise."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.FixedSizeListArray) and arr.null_count == 0:
+        m = arr.flatten().to_numpy(zero_copy_only=False)
+        return np.ascontiguousarray(
+            m.reshape(len(arr), arr.type.list_size), dtype=dtype
+        )
+    if isinstance(arr, (pa.ListArray, pa.LargeListArray)) and arr.null_count == 0:
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+            m = arr.flatten().to_numpy(zero_copy_only=False)
+            # offsets may not start at 0 on sliced arrays
+            m = m[offs[0] : offs[-1]]
+            return np.ascontiguousarray(
+                m.reshape(len(arr), int(widths[0])), dtype=dtype
+            )
+    return np.asarray(arr.to_pylist(), dtype=dtype)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -57,8 +76,8 @@ class _BruteTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty_scores()
-        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
-        m = _normalize(np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64))
+        ids = np.asarray(batch[self.id_col].to_numpy(), dtype=np.int64)
+        m = _normalize(_to_matrix(batch[self.vec_col], np.float64))
         sims = self.qm @ m.T  # (nq, nb)
         k = min(self.k, sims.shape[1])
         out_q, out_id, out_sim = [], [], []
@@ -146,9 +165,10 @@ def lsh_bucket_topk(ds, queries: dict, dim: int, k: int = 10,
     qbuckets = hasher.bucket_of(qm)
     wanted = {int(b) for b in qbuckets}
 
+    wanted_arr = pa.array(sorted(wanted), pa.int64())
     filtered = bucketed.map_batches(
         lambda t: t.filter(
-            pa.array([int(b) in wanted for b in t["lsh_bucket"].to_pylist()], pa.bool_())
+            pa.compute.is_in(t["lsh_bucket"], value_set=wanted_arr)
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -171,9 +191,9 @@ def lsh_bucket_topk(ds, queries: dict, dim: int, k: int = 10,
         def __call__(self, batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
                 return _empty_scores()
-            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            ids = np.asarray(batch[id_col].to_numpy(), dtype=np.int64)
             m = _normalize(_to_matrix(batch[vec_col]))
-            vb = np.asarray(batch["lsh_bucket"].to_pylist(), dtype=np.int64)
+            vb = np.asarray(batch["lsh_bucket"].to_numpy(), dtype=np.int64)
             sims = self.qm @ m.T
             # mask out vectors from other buckets per query
             mask = self.qbuckets[:, None] == vb[None, :]
@@ -209,36 +229,57 @@ def lsh_bucket_topk(ds, queries: dict, dim: int, k: int = 10,
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
-def embedding_dedup(ds, dim: int, threshold: float = 0.97, n_planes: int = 12,
+def embedding_dedup(ds, dim: int, threshold: float = 0.97,
+                    n_planes: int | None = None, target_bucket: int = 8192,
                     seed: int = 11, id_col: str = "vec_id",
-                    vec_col: str = "embedding"):
+                    vec_col: str = "embedding", chunk_rows: int = 1024):
     """Embedding-cosine near-dup: LSH-bucket vectors, then inside each
-    bucket compute the pairwise cosine matrix and link ids above the
-    threshold to the bucket's min id. Buckets are small by construction
-    (2^n_planes partitions), so the per-group O(b²) matmul is bounded."""
+    bucket link each id to the smallest similar-enough smaller id.
+
+    Scale handling (the O(b²) bucket matmul is the hazard):
+    - ``n_planes`` derives from the corpus size when not given —
+      2^n_planes buckets sized for ~``target_bucket`` EXPECTED vectors
+      each, so bucket count grows with the corpus instead of being a
+      fixed partition count.
+    - inside a bucket the pairwise scores are computed in row chunks of
+      ``chunk_rows`` against the bucket matrix: memory is
+      O(chunk × bucket) even when a clone-heavy bucket is huge (near-dup
+      clusters all land in ONE bucket by design, so bucket size cannot
+      be bounded by hashing alone); compute stays O(b²) but each chunk
+      is one vectorized matmul + masked argmin, no per-row Python."""
+    if n_planes is None:
+        n = ds.count()
+        n_planes = int(np.clip(np.ceil(np.log2(max(1, n) / target_bucket)) + 2,
+                               4, 30))
     bucketed = add_lsh_bucket(ds, dim, n_planes, seed, id_col, vec_col)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: [], "rep_id": [], "cosine": []}).astype(
+            {id_col: "int64", "rep_id": "int64", "cosine": "float64"}
+        )
         if len(g) < 2:
-            return pd.DataFrame({id_col: [], "rep_id": [], "cosine": []}).astype(
-                {id_col: "int64", "rep_id": "int64", "cosine": "float64"}
-            )
-        ids = g[id_col].to_numpy(dtype=np.int64)
-        m = _normalize(np.asarray(list(g[vec_col]), dtype=np.float32))
-        sims = m @ m.T
-        order = np.argsort(ids, kind="stable")
-        out_i, out_r, out_s = [], [], []
-        for pos in order:
-            # link to the smallest id that is similar enough
-            cand = np.where(sims[pos] >= threshold)[0]
-            cand_ids = ids[cand]
-            smaller = cand_ids[cand_ids < ids[pos]]
-            if smaller.size:
-                rep = int(smaller.min())
-                out_i.append(int(ids[pos]))
-                out_r.append(rep)
-                out_s.append(float(sims[pos][ids.tolist().index(rep)]))
-        return pd.DataFrame({id_col: out_i, "rep_id": out_r, "cosine": out_s})
+            return empty
+        order = np.argsort(g[id_col].to_numpy(dtype=np.int64), kind="stable")
+        ids = g[id_col].to_numpy(dtype=np.int64)[order]
+        m = _normalize(np.asarray(list(g[vec_col]), dtype=np.float32))[order]
+        out = []
+        for s in range(0, len(ids), chunk_rows):
+            e = min(s + chunk_rows, len(ids))
+            sims = m[s:e] @ m.T  # (chunk, bucket)
+            # candidates: similar enough AND strictly smaller id
+            mask = (sims >= threshold) & (ids[None, :] < ids[s:e, None])
+            masked_ids = np.where(mask, ids[None, :], np.iinfo(np.int64).max)
+            rep = masked_ids.min(axis=1)
+            pos = masked_ids.argmin(axis=1)  # first occurrence == the rep
+            hasrep = rep < np.iinfo(np.int64).max
+            if hasrep.any():
+                rows = np.nonzero(hasrep)[0]
+                out.append(pd.DataFrame({
+                    id_col: ids[s:e][rows],
+                    "rep_id": rep[rows],
+                    "cosine": sims[rows, pos[rows]].astype(np.float64),
+                }))
+        return pd.concat(out, ignore_index=True) if out else empty
 
     return bucketed.groupby("lsh_bucket").map_groups(bucket_pairs, batch_format="pandas")
 
@@ -282,7 +323,7 @@ def add_ivf_cluster(ds, centroids: np.ndarray, id_col: str = "vec_id",
         def __call__(self, batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
                 return batch.append_column("ivf_cluster", pa.array([], pa.int64()))
-            m = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+            m = _normalize(_to_matrix(batch[vec_col], np.float64))
             assign = np.argmax(m @ self.cents.T, axis=1)
             return batch.append_column(
                 "ivf_cluster", pa.array(assign.astype(np.int64), pa.int64())
@@ -308,10 +349,10 @@ def ivf_topk(ds, queries: dict, centroids: np.ndarray, k: int = 10,
     wanted = {int(c) for row in qprobes for c in row}
 
     clustered = add_ivf_cluster(ds, cents, id_col, vec_col)
+    wanted_arr = pa.array(sorted(wanted), pa.int64())
     filtered = clustered.map_batches(
         lambda t: t.filter(
-            pa.array([int(c) in wanted for c in t["ivf_cluster"].to_pylist()],
-                     pa.bool_())
+            pa.compute.is_in(t["ivf_cluster"], value_set=wanted_arr)
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -333,9 +374,9 @@ def ivf_topk(ds, queries: dict, centroids: np.ndarray, k: int = 10,
         def __call__(self, batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
                 return _empty_scores()
-            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-            m = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
-            vc = np.asarray(batch["ivf_cluster"].to_pylist(), dtype=np.int64)
+            ids = np.asarray(batch[id_col].to_numpy(), dtype=np.int64)
+            m = _normalize(_to_matrix(batch[vec_col], np.float64))
+            vc = np.asarray(batch["ivf_cluster"].to_numpy(), dtype=np.int64)
             sims = self.qm @ m.T
             # mask vectors outside each query's probed clusters
             mask = np.zeros_like(sims, dtype=bool)

@@ -148,6 +148,25 @@ def test_embedding_dedup_finds_copies(ray_session):
     assert (200, 7) in linked
 
 
+def test_embedding_dedup_skewed_bucket(ray_session):
+    """A clone-heavy corpus puts every vector in ONE bucket — the chunked
+    within-bucket matmul must bound memory and still link every clone to
+    the min id."""
+    import ray.data as rd
+
+    from crawtext_ray.stages.similarity import embedding_dedup
+
+    rng = np.random.default_rng(8)
+    base = rng.standard_normal(8).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": (base + rng.standard_normal(8) * 1e-4)
+             .tolist()} for i in range(60)]
+    got = embedding_dedup(rd.from_items(rows), dim=8, threshold=0.99,
+                          chunk_rows=7).to_pandas()
+    assert len(got) == 59  # everyone but vec 0 links
+    assert (got["rep_id"] == 0).all()
+    assert sorted(got["vec_id"]) == list(range(1, 60))
+
+
 def test_multimodal_fake_decode_and_stub(ray_session):
     import ray.data as rd
 
