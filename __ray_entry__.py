@@ -103,7 +103,31 @@ def _q_text_features(sf_dir: str):
     from crawtext_ray.stages.textops import text_features
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
-    return text_features(docs)
+    return text_features(docs).select_columns(
+        ["doc_id", "n_chars_calc", "n_words", "n_tokens", "mean_word_len",
+         "punct_ratio", "stop_ratio", "pred_lang"]
+    )
+
+
+def _q_fingerprint(sf_dir: str):
+    """Winnowing-style rolling fingerprint per doc (rows-only: the
+    modular rolling hash has no SQL analog; pytest covers the kernel)."""
+    import ray.data as rd
+
+    from crawtext_ray.stages.textops import text_features
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return text_features(docs).select_columns(["doc_id", "fingerprint"])
+
+
+def _q_jaccard_brute(sf_dir: str):
+    import ray.data as rd
+
+    from crawtext_ray.stages.dedup import jaccard_dups_brute
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return jaccard_dups_brute(docs, k=3, threshold=0.5)
 
 
 def _q_relevance(sf_dir: str):
@@ -327,6 +351,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "relevance_match": _q_relevance,
         "lang_id_docs": _q_lang_id,
         "text_features_docs": _q_text_features,
+        "fingerprint_docs": _q_fingerprint,
+        "jaccard_dups_brute": _q_jaccard_brute,
+        "parts_by_brand_nation": R.parts_by_brand_nation,
         # multimodal plumbing (rows-only; decode stubbed)
         "media_features": _q_media_features,
         "bfs_crawl_pages": _q_bfs_crawl,
@@ -339,15 +366,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _en_stopword_list_sql() -> str:
+def _sw_list_sql(lang: str) -> str:
     from crawtext_ray.extract.stopwords import stopword_set
 
-    words = sorted(stopword_set("en"))
-    return ", ".join("'" + w + "'" for w in words)
+    words = sorted(stopword_set(lang))
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
+def _en_stopword_list_sql() -> str:
+    return _sw_list_sql("en")
+
+
+def _lang_hits_sql() -> tuple[str, str]:
+    """(hit-count column SQL, argmax CASE SQL) reproducing
+    functions.text.language_id: first language in LANGID_LANGUAGES order
+    reaching the max stopword-hit count (strict > while scanning)."""
+    from crawtext_ray.extract.stopwords import LANGID_LANGUAGES
+
+    hit_cols = ", ".join(
+        f"length(list_filter(toks, x -> x IN ({_sw_list_sql(l)}))) AS h_{l}"
+        for l in LANGID_LANGUAGES
+    )
+    mx = "greatest(" + ", ".join(f"h_{l}" for l in LANGID_LANGUAGES) + ")"
+    case = (
+        "CASE WHEN COALESCE(CAST(length(regexp_extract_all(text, "
+        r"'[\x{4e00}-\x{9fff}]')) AS DOUBLE) "
+        "/ NULLIF(length(text), 0), 0) > 0.25 THEN 'zh' "
+        f"WHEN len(toks) = 0 THEN 'und' WHEN {mx} = 0 THEN 'und' "
+        + " ".join(f"WHEN h_{l} = {mx} THEN '{l}'" for l in LANGID_LANGUAGES)
+        + " ELSE 'und' END"
+    )
+    return hit_cols, case
 
 
 def oracle_sql() -> dict[str, str]:
     en_sw = _en_stopword_list_sql()
+    hit_cols, lang_case = _lang_hits_sql()
+    _TOKS = (
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+        "x -> x <> '')"
+    )
+    _LANG_ID_SQL = (
+        f"WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents), "
+        f"h AS (SELECT doc_id, text, toks, {hit_cols} FROM t) "
+        f"SELECT doc_id, {lang_case} AS pred_lang FROM h"
+    )
+    _N_STOP = (
+        "CASE "
+        f"WHEN lang = 'fr' THEN length(list_filter(toks, x -> x IN ({_sw_list_sql('fr')}))) "
+        f"WHEN lang = 'de' THEN length(list_filter(toks, x -> x IN ({_sw_list_sql('de')}))) "
+        f"WHEN lang = 'es' THEN length(list_filter(toks, x -> x IN ({_sw_list_sql('es')}))) "
+        f"ELSE length(list_filter(toks, x -> x IN ({en_sw}))) END"
+    )
+    _TEXT_FEATURES_SQL = (
+        f"WITH t AS (SELECT doc_id, text, lang, {_TOKS} AS toks FROM documents), "
+        f"h AS (SELECT doc_id, text, toks, {hit_cols}, "
+        f"{_N_STOP} AS n_stop, "
+        r"regexp_extract_all(text, '\S+') AS words, "
+        r"length(regexp_extract_all(text, '[^\p{L}\p{N}_\s]')) AS n_punct "
+        "FROM t) "
+        "SELECT doc_id, length(text) AS n_chars_calc, len(words) AS n_words, "
+        r"length(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_tokens, "
+        "COALESCE(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) "
+        "/ NULLIF(len(words), 0), 0.0) AS mean_word_len, "
+        "COALESCE(CAST(n_punct AS DOUBLE) / NULLIF(length(text), 0), 0.0) AS punct_ratio, "
+        "COALESCE(CAST(n_stop AS DOUBLE) / NULLIF(len(toks), 0), 0.0) AS stop_ratio, "
+        f"{lang_case} AS pred_lang FROM h"
+    )
     return {
         "report_lang": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
         "report_source": "SELECT source, count(*) AS n_docs FROM documents GROUP BY source",
@@ -471,5 +556,31 @@ def oracle_sql() -> dict[str, str]:
         ),
         "exact_dedup_docs": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "lang_id_docs": _LANG_ID_SQL,
+        "text_features_docs": _TEXT_FEATURES_SQL,
+        "jaccard_dups_brute": (
+            "WITH t AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
+            "FROM documents), "
+            "s AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN [] "
+            "WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+            "ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2), "
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh FROM t) "
+            "SELECT * FROM ("
+            "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+            "CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0 "
+            "WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN 0.0 "
+            "ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) "
+            "/ len(list_distinct(list_concat(a.sh, b.sh))) END AS jaccard "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id) "
+            "WHERE jaccard >= 0.5"
+        ),
+        "parts_by_brand_nation": (
+            "SELECT p_brand, n_name, count(*) AS n_items, "
+            "CAST(sum(l_quantity) AS BIGINT) AS sum_qty "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey GROUP BY 1, 2"
         ),
     }

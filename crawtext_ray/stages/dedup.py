@@ -495,6 +495,75 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def jaccard_dups_brute(ds, text_col: str = "text", id_col: str = "doc_id",
+                       k: int = 3, threshold: float = 0.5):
+    """Exact O(n²) n-gram-Jaccard pair finder — the BRUTE-FORCE VERIFIER
+    for the LSH paths (and the SQL-oracle-checkable near-dup query: a
+    DuckDB cross join over string shingles computes the identical
+    jaccard, since both sides divide the same set-size integers).
+
+    Emits (id_a, id_b, jaccard) for id_a < id_b with jaccard ≥ threshold.
+    The shingle-set table is collected once on the driver and broadcast
+    (O(corpus shingles) driver memory) while the n² pair loop runs
+    distributed over id partitions — deliberately a small-corpus
+    diagnostic; at scale you run the LSH paths and verify candidates with
+    ``verify_pairs_jaccard``."""
+    import ray
+    import ray.data as rd
+
+    shingled = ds.map_batches(
+        lambda t: pa.table({
+            id_col: t[id_col],
+            "sh": pa.array(
+                [_shingle_array(x or "", k) for x in t[text_col].to_pylist()]
+            ),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    ids, sets = [], []
+    for r in shingled.iter_rows():
+        ids.append(r[id_col])
+        sets.append(frozenset(int(v) for v in r["sh"]))
+    order = np.argsort(np.asarray(ids))
+    ids = [ids[i] for i in order]
+    sets = [sets[i] for i in order]
+    ref = ray.put((ids, sets))
+
+    class PairRows:
+        def __init__(self):
+            self.ids, self.sets = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out_a, out_b, out_j = [], [], []
+            for a_pos in t["pos"].to_pylist():
+                sa = self.sets[a_pos]
+                for b_pos in range(a_pos + 1, len(self.ids)):
+                    sb = self.sets[b_pos]
+                    if not sa and not sb:
+                        j = 1.0
+                    elif not sa or not sb:
+                        j = 0.0
+                    else:
+                        j = len(sa & sb) / len(sa | sb)
+                    if j >= threshold:
+                        out_a.append(self.ids[a_pos])
+                        out_b.append(self.ids[b_pos])
+                        out_j.append(j)
+            return pa.table({
+                "doc_id_a": pa.array(out_a, pa.int64()),
+                "doc_id_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            })
+
+    positions = rd.range(len(ids)).map_batches(
+        lambda t: pa.table({"pos": t["id"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    from .fusion import map_stage
+
+    return map_stage(positions, PairRows)
+
+
 def verify_pairs_jaccard(ds_pairs, docs_lookup, text_col: str = "text",
                          id_col: str = "doc_id", k: int = 5,
                          threshold: float = 0.8):

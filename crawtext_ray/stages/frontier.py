@@ -84,43 +84,100 @@ def outlinks_frontier(articles, depth: int):
 
 
 def bfs_crawl(pages_ds, seed_urls: list[str], max_depth: int = 2,
-              extract_fn=None):
+              extract_fn=None, broadcast_cap: int = 1_000_000,
+              num_partitions: int = 16):
     """T2: strict depth-by-depth BFS inside a pre-crawled corpus.
 
     ``extract_fn(pages_subset) -> articles`` defaults to the flagship
     extraction stage. Returns (articles_per_depth: list[Dataset],
-    seen_urls: set). The seen set lives on the driver — adequate for the
-    corpus-subset crawl sizes this models; the at-scale variant swaps
-    ``anti_join_broadcast`` for ``anti_join_grouped`` against the
-    accumulated frontier Dataset."""
+    seen_urls: set).
+
+    Frontier handling is two-mode BY ROUND, picked against
+    ``broadcast_cap``:
+    - frontier ≤ cap (the common case): broadcast the url set once
+      (``ray.put``) and mask inside the fused read→filter→extract chain
+      — zero shuffles.
+    - frontier > cap: the frontier stays a Dataset; the page subset is a
+      native hash semi-join on url (pages carry only scalar/binary
+      columns, which Acero joins accept) and the next frontier is the
+      keyed ``anti_join_grouped`` against the accumulated seen Dataset —
+      nothing frontier-sized ever lands on the driver.
+    The seen set tracks both modes as a Dataset; the returned set is
+    materialized only when its final size fits the cap (else the
+    Dataset itself is returned in its place)."""
+    import ray.data as rd
+
     from .extract_stage import extract_articles
+    from .fusion import map_stage
 
     extract_fn = extract_fn or (lambda ds: extract_articles(ds))
-    seen: set[str] = set()
-    frontier = [u for u in dict.fromkeys(seed_urls)]
+    small = len(seed_urls) <= broadcast_cap
+    seen_set: set[str] = set()
+    frontier_urls = list(dict.fromkeys(seed_urls))
+    seen_ds = None
+    frontier_ds = None
+    if not small:
+        seen_ds = rd.from_arrow(pa.table({"url": pa.array([], pa.string())}))
+        frontier_ds = rd.from_items(
+            [{"url": u} for u in frontier_urls]
+        ).materialize()
     rounds = []
     for depth in range(max_depth + 1):
-        frontier = [u for u in frontier if u not in seen]
-        if not frontier:
-            break
-        seen.update(frontier)
-        fset = ray.put(frozenset(frontier))
+        if small:
+            frontier_urls = [u for u in frontier_urls if u not in seen_set]
+            if not frontier_urls:
+                break
+            fset = ray.put(frozenset(frontier_urls))
 
-        class InFrontier:
-            def __init__(self):
-                self.f = ray.get(fset)
+            class InFrontier:
+                def __init__(self):
+                    self.f = ray.get(fset)
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                mask = [u in self.f for u in batch["url"].to_pylist()]
-                return batch.filter(pa.array(mask, pa.bool_()))
+                def __call__(self, batch: pa.Table) -> pa.Table:
+                    mask = [u in self.f for u in batch["url"].to_pylist()]
+                    return batch.filter(pa.array(mask, pa.bool_()))
 
-        from .fusion import map_stage
-
-        subset = map_stage(pages_ds, InFrontier)
+            subset = map_stage(pages_ds, InFrontier)
+        else:
+            # arrow-normalize + coalesce: anti_join_grouped emits pandas
+            # blocks, including zero-row schema-less ones that make the
+            # downstream hash join fail to resolve its key field; the
+            # repartition rebuilds clean uniform blocks
+            frontier_ds = (
+                anti_join_grouped(frontier_ds, seen_ds)
+                .map_batches(lambda t: t, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .repartition(num_partitions)
+                .materialize()
+            )
+            if frontier_ds.count() == 0:
+                break
+            subset = pages_ds.join(
+                frontier_ds,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("url",),
+            )
         articles = extract_fn(subset).materialize()
         rounds.append(articles)
+        if small:
+            seen_set.update(frontier_urls)
+        else:
+            seen_ds = seen_ds.union(frontier_ds).materialize()
         if depth == max_depth:
             break
-        links = outlinks_frontier(articles, depth + 1)
-        frontier = [r["url"] for r in links.select_columns(["url"]).take_all()]
-    return rounds, seen
+        links = outlinks_frontier(articles, depth + 1).select_columns(["url"])
+        if small and links.count() + len(seen_set) > broadcast_cap:
+            # permanent switch to Dataset mode mid-crawl
+            small = False
+            seen_ds = rd.from_items(
+                [{"url": u} for u in sorted(seen_set)]
+            ).materialize()
+            frontier_ds = links.materialize()
+        elif small:
+            frontier_urls = list(
+                dict.fromkeys(r["url"] for r in links.iter_rows())
+            )
+        else:
+            frontier_ds = links.materialize()
+    return rounds, (seen_set if small else seen_ds)

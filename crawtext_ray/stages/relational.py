@@ -13,7 +13,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from .dedup import first_by
 
@@ -331,6 +331,64 @@ def shipped_before(sf_dir: str, cutoff: str = "1996-01-01"):
 
 
 # --- embeddings -----------------------------------------------------------
+
+
+def parts_by_brand_nation(sf_dir: str):
+    """TPC-H Q2-shape multi-join over the fact table: lineitem ⋈ part ⋈
+    supplier ⋈ nation → (p_brand, n_name) counts + quantity sums. The
+    three dimension tables are broadcast once (ray.put) and attached
+    map-side while lineitem streams — the star-join pattern; the only
+    exchange is the final bounded-key groupby."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    brand_of = dict(zip(part["p_partkey"].to_pylist(),
+                        part["p_brand"].to_pylist()))
+    nkey_of = dict(zip(supp["s_suppkey"].to_pylist(),
+                       supp["s_nationkey"].to_pylist()))
+    name_of = dict(zip(nation["n_nationkey"].to_pylist(),
+                       nation["n_name"].to_pylist()))
+    nation_of = {sk: name_of.get(nk) for sk, nk in nkey_of.items()}
+    ref = ray.put((brand_of, nation_of))
+
+    class Attach:
+        def __init__(self):
+            self.brand_of, self.nation_of = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            brands = [self.brand_of.get(k) for k in batch["l_partkey"].to_pylist()]
+            nations = [self.nation_of.get(k) for k in batch["l_suppkey"].to_pylist()]
+            t = pa.table({
+                "p_brand": pa.array(brands, pa.string()),
+                "n_name": pa.array(nations, pa.string()),
+                "l_quantity": batch["l_quantity"],
+            })
+            # inner-join semantics: drop facts with no matching dim row
+            import pyarrow.compute as pc
+
+            return t.filter(pc.and_(pc.is_valid(t["p_brand"]),
+                                    pc.is_valid(t["n_name"])))
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey", "l_quantity"])
+    from .fusion import map_stage
+
+    out = map_stage(ds, Attach).groupby(["p_brand", "n_name"]).aggregate(
+        Count(alias_name="n_items"), Sum("l_quantity", alias_name="sum_qty")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("sum_qty"),
+            "sum_qty",
+            pa.compute.cast(t["sum_qty"], pa.int64()),
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
 
 def read_query_vectors(path: str, n_queries: int, dtype=np.float64) -> dict:

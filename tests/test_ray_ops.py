@@ -210,6 +210,26 @@ def test_bfs_crawl_rounds(ray_session, pages_small):
     assert set(seeds).issubset(seen)
 
 
+def test_bfs_crawl_distributed_matches_broadcast(ray_session, pages_small):
+    """broadcast_cap=0 forces the Dataset-frontier mode (hash semi-join
+    subset + keyed anti-join); per-depth article urls must match the
+    driver-frontier mode."""
+    import ray.data as rd
+
+    from crawtext_ray.stages.frontier import bfs_crawl
+
+    pages = rd.read_parquet(pages_small)
+    seeds = [r["url"] for r in pages.take(3)]
+    r_small, seen_small = bfs_crawl(pages, seeds, max_depth=1)
+    r_big, seen_big = bfs_crawl(pages, seeds, max_depth=1, broadcast_cap=0)
+    assert len(r_small) == len(r_big)
+    for a, b in zip(r_small, r_big):
+        assert sorted(x["url"] for x in a.select_columns(["url"]).take_all()) == \
+               sorted(x["url"] for x in b.select_columns(["url"]).take_all())
+    seen_big_set = {r["url"] for r in seen_big.iter_rows()}
+    assert seen_big_set == set(seen_small)
+
+
 def test_anti_join_grouped(ray_session):
     import ray.data as rd
 
