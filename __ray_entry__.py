@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": _q_lang_id,
         "text_features_docs": _q_text_features,
         "fingerprint_docs": _q_fingerprint,
+        "sample_docs": R.sample_docs_deterministic,
         "jaccard_dups_brute": _q_jaccard_brute,
         "parts_by_brand_nation": R.parts_by_brand_nation,
         # multimodal plumbing (rows-only; decode stubbed)
@@ -556,6 +557,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "exact_dedup_docs": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "sample_docs": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'"
         ),
         "lang_id_docs": _LANG_ID_SQL,
         "text_features_docs": _TEXT_FEATURES_SQL,

@@ -391,6 +391,28 @@ def parts_by_brand_nation(sf_dir: str):
     )
 
 
+def sample_docs_deterministic(sf_dir: str, pct: int = 10):
+    """T3 sampling, the reproducible form: keep a doc iff the first byte
+    of md5(str(doc_id)) falls in the lowest ``pct``% of the byte range —
+    a deterministic hash sample that every rerun (and the DuckDB oracle)
+    selects identically. Use Ray-native ``ds.random_sample`` when
+    statistical (non-reproducible) sampling is wanted."""
+    import hashlib
+
+    cut = 256 * pct // 100
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        keep = [
+            hashlib.md5(str(i).encode()).digest()[0] < cut for i in ids
+        ]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def read_query_vectors(path: str, n_queries: int, dtype=np.float64) -> dict:
     """Driver-side query-vector pick with ROW-GROUP PUSHDOWN: only row
     groups whose vec_id stats overlap [0, n_queries) are read — never the
