@@ -430,12 +430,52 @@ class _SimHash:
         )
         return int(out)
 
+    # cap the transient (tokens × 64) bit matrix at ~32 MB
+    CHUNK_TOKENS = 1 << 17
+
+    def _batch_simhash(self, texts: list) -> np.ndarray:
+        """Vectorized Charikar simhash for a whole batch: one
+        concatenated (tokens × 64) bit matrix per chunk, per-doc bit
+        sums via add.reduceat — bit-identical to simhash64 per doc."""
+        n = len(texts)
+        out = np.zeros(n, dtype=np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        tok_arrays = []
+        for t in texts:
+            toks = _TOKEN_RE.findall((t or "").lower())
+            tok_arrays.append(
+                np.fromiter((_token_hash(x) for x in toks), dtype=np.uint64,
+                            count=len(toks))
+            )
+        i = 0
+        while i < n:
+            j, tot = i, 0
+            while j < n and (j == i or tot + tok_arrays[j].size <= self.CHUNK_TOKENS):
+                tot += tok_arrays[j].size
+                j += 1
+            chunk = [a for a in tok_arrays[i:j] if a.size]
+            if chunk:
+                idx = [p for p in range(i, j) if tok_arrays[p].size]
+                th = np.concatenate(chunk)
+                counts = np.array([a.size for a in chunk], dtype=np.int64)
+                offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                    np.int64
+                )
+                cnt = np.add.reduceat(bits, offs, axis=0)  # (docs, 64)
+                v = 2 * cnt - counts[:, None]  # sum of (2b-1) per bit
+                packed = np.bitwise_or.reduce(
+                    (v > 0).astype(np.uint64) << shifts[None, :], axis=1
+                )
+                out[idx] = packed
+            i = j
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        hs = [self.simhash64(t or "") for t in batch[self.text_col].to_pylist()]
+        hs = self._batch_simhash(batch[self.text_col].to_pylist())
         return pa.table(
             {
-                self.id_col: ids,
+                self.id_col: batch[self.id_col],
                 "simhash": pa.array(hs, pa.uint64()),
             }
         )

@@ -67,6 +67,17 @@ def test_simhash_duplicates(docs_with_dups):
     assert (102, 100) in linked  # identical text -> identical simhash
 
 
+def test_batch_simhash_matches_scalar():
+    from crawtext_ray.stages.dedup import _SimHash
+
+    sh = _SimHash("text", "doc_id")
+    texts = ["the quick brown fox", "", "a b c d e f g" * 50,
+             "einzigartige wörter überall", "x"]
+    batch = sh._batch_simhash(texts)
+    for t, got in zip(texts, batch):
+        assert int(got) == sh.simhash64(t)
+
+
 def test_brute_force_topk_matches_numpy(ray_session):
     import ray.data as rd
 
