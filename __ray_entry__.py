@@ -353,6 +353,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_features_docs": _q_text_features,
         "fingerprint_docs": _q_fingerprint,
         "sample_docs": R.sample_docs_deterministic,
+        "sessionize_events": R.sessionize_events,
+        "top_events_per_user": R.top_events_per_user,
+        "asof_click_before_purchase": R.asof_click_before_purchase,
         "jaccard_dups_brute": _q_jaccard_brute,
         "parts_by_brand_nation": R.parts_by_brand_nation,
         # multimodal plumbing (rows-only; decode stubbed)
@@ -561,6 +564,30 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": (
             "SELECT doc_id, lang FROM documents "
             "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'"
+        ),
+        "sessionize_events": (
+            "SELECT event_id, CAST(SUM(CASE WHEN prev_ts IS NULL "
+            "OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq "
+            "FROM (SELECT event_id, user_id, ts, lag(ts) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+            "FROM events)"
+        ),
+        "top_events_per_user": (
+            'SELECT user_id, event_id, "rank" FROM ('
+            "SELECT user_id, event_id, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY value DESC, event_id) AS \"rank\" "
+            'FROM events) WHERE "rank" <= 3'
+        ),
+        "asof_click_before_purchase": (
+            "WITH c AS (SELECT p.event_id, k.event_id AS click_event_id, "
+            "row_number() OVER (PARTITION BY p.event_id "
+            "ORDER BY k.ts DESC, k.event_id DESC) AS rn "
+            "FROM events p JOIN events k ON k.user_id = p.user_id "
+            "AND k.event_type = 'click' AND k.ts <= p.ts "
+            "WHERE p.event_type = 'purchase') "
+            "SELECT event_id, click_event_id FROM c WHERE rn = 1"
         ),
         "lang_id_docs": _LANG_ID_SQL,
         "text_features_docs": _TEXT_FEATURES_SQL,

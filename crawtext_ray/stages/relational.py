@@ -391,6 +391,85 @@ def parts_by_brand_nation(sf_dir: str):
     )
 
 
+def sessionize_events(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization (streaming-shaped windowed operator): per
+    user, order events by (ts, event_id); a gap strictly greater than
+    ``gap_minutes`` starts a new session. Output (event_id, session_seq)
+    with session_seq 1-based per user. One keyed exchange on user_id —
+    the same partitioning key as every other per-user window op."""
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable").reset_index(drop=True)
+        gaps = g["ts"].diff()
+        new = gaps.isna() | (gaps > pd.Timedelta(minutes=gap_minutes))
+        g["session_seq"] = new.cumsum().astype("int64")
+        return g[["event_id", "session_seq"]]
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts"])
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+def top_events_per_user(sf_dir: str, k: int = 3):
+    """Grouped top-k: each user's k highest-value events (ties broken by
+    event_id asc), ranked 1..k."""
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True],
+                          kind="stable").head(k).reset_index(drop=True)
+        g["rank"] = g.index.to_numpy() + 1
+        return g[["user_id", "event_id", "rank"]]
+
+    ds = _events(sf_dir, ["user_id", "event_id", "value"])
+    return ds.groupby("user_id").map_groups(topk, batch_format="pandas")
+
+
+def asof_click_before_purchase(sf_dir: str):
+    """AS-OF JOIN (attribution shape): for every purchase event, the most
+    recent click by the same user with click.ts <= purchase.ts (ties on
+    ts broken by max event_id). Inner semantics: purchases with no prior
+    click are dropped.
+
+    Ray Data lacks a native as-of join; this is the canonical
+    composition — co-partition both streams on the join key (one
+    groupby(user_id)) and merge inside the group with a vectorized
+    searchsorted, relying ONLY on key co-location (the partitioning
+    assumption: all rows of one user fit one group, true whenever a
+    single user's history fits a worker — the standard event-log
+    contract)."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"].sort_values(
+            ["ts", "event_id"], kind="stable"
+        )
+        purch = g[g["event_type"] == "purchase"]
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "click_event_id": pd.Series([], dtype="int64"),
+        })
+        if clicks.empty or purch.empty:
+            return empty
+        cts = clicks["ts"].to_numpy()
+        cid = clicks["event_id"].to_numpy()
+        pos = np.searchsorted(cts, purch["ts"].to_numpy(), side="right") - 1
+        ok = pos >= 0
+        if not ok.any():
+            return empty
+        return pd.DataFrame({
+            "event_id": purch["event_id"].to_numpy()[ok],
+            "click_event_id": cid[pos[ok]],
+        })
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    keep = ds.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(t["event_type"],
+                             value_set=pa.array(["click", "purchase"]))
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return keep.groupby("user_id").map_groups(merge, batch_format="pandas")
+
+
 def sample_docs_deterministic(sf_dir: str, pct: int = 10):
     """T3 sampling, the reproducible form: keep a doc iff the first byte
     of md5(str(doc_id)) falls in the lowest ``pct``% of the byte range —
