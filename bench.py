@@ -186,8 +186,29 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> None:
+    """Print the flagship pipeline's per-operator `ds.stats()` — the
+    feedback loop used to verify fusion (read+extract must be ONE
+    operator) and that wall time is dominated by the extract compute."""
+    import ray
+
+    pages_dir = _ensure_pages()
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from crawtext_ray.pipelines.flagship import build_articles
+    from crawtext_ray.stages.report import report_lang
+
+    arts = build_articles(pages_dir, num_partitions=max(NUM_CPUS * 2, 16),
+                          concurrency="tasks", batch_size=64).materialize()
+    report_lang(arts).take_all()
+    print(arts.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        run_stats()
     else:
         print(json.dumps(run_bench()))

@@ -33,16 +33,23 @@ def _extract_outlinks(root, page_url: str, rules: AdblockRules | None) -> list[s
     within page, order-preserving."""
     seen: set[str] = set()
     out: list[str] = []
+    # per-page memo: real pages repeat nav/footer hrefs dozens of times —
+    # canonize + filter + adblock-match each distinct href once
+    memo: dict[str, str | None] = {}
     for a in root.iter("a"):
         href = a.get("href")
         if not href:
             continue
-        u = canon_url(page_url, href)
-        if not u or not is_crawlable(u):
-            continue
-        if rules is not None and rules.should_block(u):
-            continue
-        if u not in seen:
+        if href in memo:
+            u = memo[href]
+        else:
+            u = canon_url(page_url, href)
+            if not u or not is_crawlable(u) or (
+                rules is not None and rules.should_block(u)
+            ):
+                u = None
+            memo[href] = u
+        if u and u not in seen:
             seen.add(u)
             out.append(u)
     return out

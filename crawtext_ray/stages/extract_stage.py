@@ -78,39 +78,45 @@ class ExtractArticles:
             if "lang" in batch.column_names
             else [None] * len(urls)
         )
-        out: list[dict] = []
+        # columnar accumulation (one list per column beats per-row dicts
+        # through Table.from_pylist in the arrow conversion)
+        cols: dict[str, list] = {
+            "lang": [], "title": [], "extracted_text": [], "meta": [],
+            "outlinks": [], "relevant": [], "status": [], "n_words": [],
+            "content_sha256": [],
+        }
         for url, html, lang in zip(urls, htmls, langs):
             art = extract_article(html or b"", url or "", lang, self.rules)
             if self.query is not None and art["status"] == "ok":
-                matched, _terms = self.query.match_with_terms(
+                relevant, _terms = self.query.match_with_terms(
                     art["title"] + "\n" + art["extracted_text"]
                 )
-                relevant = matched
             else:
                 relevant = art["status"] == "ok" and self.query is None
-            out.append(
+            cols["lang"].append(art["lang"])
+            cols["title"].append(art["title"])
+            cols["extracted_text"].append(art["extracted_text"])
+            cols["meta"].append(
                 {
-                    "url": url,
-                    "lang": art["lang"],
-                    "title": art["title"],
-                    "extracted_text": art["extracted_text"],
-                    "meta": {
-                        "description": art["meta_description"],
-                        "keywords": art["meta_keywords"],
-                        "lang": art["meta_lang"],
-                        "canonical": art["canonical"],
-                    },
-                    "outlinks": art["outlinks"],
-                    "relevant": relevant,
-                    "status": art["status"],
-                    "n_words": art["n_words"],
-                    "content_sha256": art["content_sha256"],
+                    "description": art["meta_description"],
+                    "keywords": art["meta_keywords"],
+                    "lang": art["meta_lang"],
+                    "canonical": art["canonical"],
                 }
             )
-        tbl = pa.Table.from_pylist(out, schema=ARTICLES_SCHEMA.remove(1))
-        # carry warc_ts through untouched (zero-copy column passthrough)
-        tbl = tbl.add_column(1, "warc_ts", batch["warc_ts"].combine_chunks())
-        return tbl.select([f.name for f in ARTICLES_SCHEMA])
+            cols["outlinks"].append(art["outlinks"])
+            cols["relevant"].append(relevant)
+            cols["status"].append(art["status"])
+            cols["n_words"].append(art["n_words"])
+            cols["content_sha256"].append(art["content_sha256"])
+        sch = ARTICLES_SCHEMA
+        arrays = [batch["url"].combine_chunks().cast(pa.string()),
+                  batch["warc_ts"].combine_chunks()]
+        for f in sch:
+            if f.name in ("url", "warc_ts"):
+                continue
+            arrays.append(pa.array(cols[f.name], f.type))
+        return pa.Table.from_arrays(arrays, schema=sch)
 
 
 # per-worker-process stage cache for the task-fused mode: Ray reuses
