@@ -130,6 +130,26 @@ def _q_jaccard_brute(sf_dir: str):
     return jaccard_dups_brute(docs, k=3, threshold=0.5)
 
 
+def _q_redact_pii(sf_dir: str):
+    import ray.data as rd
+
+    from crawtext_ray.stages.textops import redact_pii
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return redact_pii(docs)
+
+
+def _q_chunk_docs(sf_dir: str):
+    import ray.data as rd
+
+    from crawtext_ray.stages.textops import chunk_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return chunk_documents(docs, width=64, stride=48)
+
+
 def _q_relevance(sf_dir: str):
     import ray.data as rd
 
@@ -356,6 +376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": R.sessionize_events,
         "top_events_per_user": R.top_events_per_user,
         "asof_click_before_purchase": R.asof_click_before_purchase,
+        "redact_pii_docs": _q_redact_pii,
+        "chunk_docs": _q_chunk_docs,
         "jaccard_dups_brute": _q_jaccard_brute,
         "parts_by_brand_nation": R.parts_by_brand_nation,
         # multimodal plumbing (rows-only; decode stubbed)
@@ -588,6 +610,22 @@ def oracle_sql() -> dict[str, str]:
             "AND k.event_type = 'click' AND k.ts <= p.ts "
             "WHERE p.event_type = 'purchase') "
             "SELECT event_id, click_event_id FROM c WHERE rn = 1"
+        ),
+        "redact_pii_docs": (
+            "SELECT doc_id, regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
+            "'\+?[0-9][0-9\-\s]{7,}[0-9]', '[PHONE]', 'g') AS clean_text "
+            "FROM documents"
+        ),
+        "chunk_docs": (
+            r"WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks "
+            "FROM documents) "
+            "SELECT doc_id, k + 1 AS chunk_id, "
+            "array_to_string(toks[(k*48 + 1):least(k*48 + 64, len(toks))], ' ') "
+            "AS chunk_text "
+            "FROM t, UNNEST(generate_series(0, "
+            "CAST(floor((len(toks) - 1) / 48) AS BIGINT))) AS u(k) "
+            "WHERE len(toks) >= 1"
         ),
         "lang_id_docs": _LANG_ID_SQL,
         "text_features_docs": _TEXT_FEATURES_SQL,

@@ -85,6 +85,59 @@ def word_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# PII scrub patterns — RE2-compatible so the Arrow kernel, the Python
+# fallback, and the DuckDB oracle share EXACT semantics
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9\-\s]{7,}[0-9]"
+
+
+def redact_pii(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Training-corpus PII scrub: emails then phone-number shapes replaced
+    with placeholder tokens. Pure Arrow RE2 kernels
+    (replace_substring_regex) — vectorized, zero Python per row."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = pc.replace_substring_regex(
+            batch[text_col], pattern=EMAIL_RE, replacement="[EMAIL]"
+        )
+        col = pc.replace_substring_regex(
+            col, pattern=PHONE_RE, replacement="[PHONE]"
+        )
+        return pa.table({id_col: batch[id_col], "clean_text": col})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
+                    width: int = 64, stride: int = 48):
+    """Sliding-window document chunking (the tokenize-and-pack precursor):
+    whitespace tokens, windows of ``width`` tokens every ``stride`` (the
+    final window may be short; docs with zero tokens emit nothing).
+    flat_map shape — one input row fans out to ceil(n/stride) chunk rows;
+    chunk_id is 1-based per doc."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out_id, out_chunk, out_text = [], [], []
+        for i, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            toks = (t or "").split()
+            k = 0
+            while k * stride < len(toks):
+                s = k * stride
+                out_id.append(i)
+                out_chunk.append(k + 1)
+                out_text.append(" ".join(toks[s:s + width]))
+                k += 1
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "chunk_id": pa.array(out_chunk, pa.int64()),
+            "chunk_text": pa.array(out_text, pa.large_string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def relevance_filter(ds, expression: str, text_col: str = "text",
                      id_col: str = "doc_id"):
     """M7 over a documents table: compile the boolean query once per
