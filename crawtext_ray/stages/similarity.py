@@ -28,12 +28,11 @@ def _to_matrix(col, dtype=np.float32) -> np.ndarray:
             m.reshape(len(arr), arr.type.list_size), dtype=dtype
         )
     if isinstance(arr, (pa.ListArray, pa.LargeListArray)) and arr.null_count == 0:
-        offs = arr.offsets.to_numpy(zero_copy_only=False)
-        widths = np.diff(offs)
+        widths = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
         if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+            # flatten() already respects slicing offsets (returns exactly
+            # this array's values, not the whole child buffer)
             m = arr.flatten().to_numpy(zero_copy_only=False)
-            # offsets may not start at 0 on sliced arrays
-            m = m[offs[0] : offs[-1]]
             return np.ascontiguousarray(
                 m.reshape(len(arr), int(widths[0])), dtype=dtype
             )

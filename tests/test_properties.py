@@ -81,3 +81,45 @@ def test_export_report(tmp_path):
     ]
     p = export_report(df, str(tmp_path / "r.csv"))
     assert open(p).read().splitlines()[0] == "lang,n_docs"
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=1500))
+def test_pdf_extract_never_raises(b):
+    from crawtext_ray.extract.pdf import extract_pdf_text
+
+    r1 = extract_pdf_text(b"%PDF-1.4\n" + b)
+    r2 = extract_pdf_text(b"%PDF-1.4\n" + b)
+    assert r1 == r2  # deterministic
+    assert r1["status"] in ("ok", "empty", "unsupported", "not_pdf")
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet="abcdefgh 0123456789", max_size=120),
+                min_size=1, max_size=12))
+def test_minhash_band_keys_batch_invariant(texts):
+    """Band keys for a doc must not depend on which other docs share its
+    batch (the per-doc exactness invariant the pair-emission pass relies
+    on)."""
+    import numpy as np
+
+    from crawtext_ray.stages.dedup import _MinHashBands
+
+    mb = _MinHashBands(num_perm=32, bands=8, shingle_k=3,
+                       text_col="text", id_col="doc_id")
+    whole = mb.band_keys(texts)
+    for i, t in enumerate(texts):
+        alone = mb.band_keys([t])
+        assert np.array_equal(whole[i], alone[0])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet="abcdef ", max_size=100), min_size=1,
+                max_size=8))
+def test_simhash_batch_invariant(texts):
+    from crawtext_ray.stages.dedup import _SimHash
+
+    sh = _SimHash("text", "doc_id")
+    whole = sh._batch_simhash(texts)
+    for t, got in zip(texts, whole):
+        assert int(got) == sh.simhash64(t)

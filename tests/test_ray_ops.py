@@ -118,6 +118,30 @@ def test_lsh_topk_self_found(ray_session):
     assert int(got.sort_values("rank").iloc[0]["vec_id"]) == 5
 
 
+def test_to_matrix_sliced_arrays():
+    """flatten() on a sliced list array returns the slice's values only —
+    _to_matrix must not re-apply offsets (regression)."""
+    import pyarrow as pa
+
+    from crawtext_ray.stages.similarity import _to_matrix
+
+    arr = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]],
+                   pa.list_(pa.float32()))
+    assert np.array_equal(
+        _to_matrix(arr.slice(1, 2)),
+        np.array([[3, 4], [5, 6]], dtype=np.float32),
+    )
+    assert np.array_equal(
+        _to_matrix(arr), np.asarray(arr.to_pylist(), dtype=np.float32)
+    )
+    f = pa.FixedSizeListArray.from_arrays(
+        pa.array([1.0, 2, 3, 4, 5, 6], pa.float32()), 2
+    )
+    assert np.array_equal(
+        _to_matrix(f.slice(2, 1)), np.array([[5, 6]], dtype=np.float32)
+    )
+
+
 def test_topk_survives_empty_blocks(ray_session):
     # the lsh/ivf bucket filters can emit zero-row blocks; the scoring
     # stages must early-return instead of feeding a 1-D empty array to
