@@ -19,6 +19,58 @@ from ..stages.dedup import minhash_lsh_duplicates
 from .flagship import build_articles
 
 
+def quality_gate_mask(texts_col, langs_col, n_words_col,
+                      min_words: int, min_stop_ratio: float,
+                      max_mean_word_len: float) -> "pa.BooleanArray":
+    """Vectorized keep-mask for the pretraining-corpus gates (too-short,
+    too-little-function-words, gibberish-long-tokens): Arrow split/trim
+    kernels + one is_in per language + bincount — no per-row Python.
+    Differentially tested against the scalar definition
+    (tests/test_training_data.py)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..extract.stopwords import stopword_set
+
+    gate_langs = ("en", "fr", "de", "es")
+    n = len(texts_col)
+    low = pc.utf8_lower(texts_col)
+    toks = pc.split_pattern_regex(low, pattern=r"\s+")
+    arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    widths = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+    vals = arr.flatten()
+    # split_pattern_regex keeps boundary empties that .split() drops
+    lens = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
+    nonempty = lens > 0
+    row_idx = np.repeat(np.arange(n), widths)
+    n_toks = np.bincount(row_idx[nonempty], minlength=n)
+    sum_len = np.bincount(row_idx, weights=lens, minlength=n)
+    stripped = pc.utf8_trim(vals, characters=".,;:!?")
+    hits_by_lang = {}
+    for lang in gate_langs:
+        isw = pc.is_in(
+            stripped, value_set=pa.array(sorted(stopword_set(lang)))
+        ).to_numpy(zero_copy_only=False)
+        hits_by_lang[lang] = np.bincount(
+            row_idx, weights=isw & nonempty, minlength=n
+        )
+    langs = langs_col.to_pylist()
+    hits = np.array([
+        hits_by_lang.get(l, hits_by_lang["en"])[i] for i, l in enumerate(langs)
+    ])
+    n_words = np.asarray(n_words_col.to_numpy(zero_copy_only=False))
+    safe = np.maximum(n_toks, 1)
+    mean_len = sum_len / safe
+    stop_ratio = hits / safe
+    keep = (
+        (n_words >= min_words)
+        & (n_toks > 0)
+        & (stop_ratio >= min_stop_ratio)
+        & (mean_len <= max_mean_word_len)
+    )
+    return pa.array(keep, pa.bool_())
+
+
 def quality_gate(
     articles,
     min_words: int = 20,
@@ -28,26 +80,14 @@ def quality_gate(
     """Vectorized quality filter over extracted articles (the classic
     pretraining-corpus gates: too-short, too-little-function-words,
     gibberish-long-tokens)."""
-    from ..extract.stopwords import stopword_set
-
-    sw_by_lang = {l: stopword_set(l) for l in ("en", "fr", "de", "es")}
 
     def gate(batch: pa.Table) -> pa.Table:
-        keep = []
-        for text, lang, n_words in zip(
-            batch["extracted_text"].to_pylist(),
-            batch["lang"].to_pylist(),
-            batch["n_words"].to_pylist(),
-        ):
-            if n_words < min_words:
-                keep.append(False)
-                continue
-            toks = text.lower().split()
-            mean_len = sum(len(t) for t in toks) / len(toks)
-            sw = sw_by_lang.get(lang, sw_by_lang["en"])
-            stop_ratio = sum(1 for t in toks if t.strip(".,;:!?") in sw) / len(toks)
-            keep.append(stop_ratio >= min_stop_ratio and mean_len <= max_mean_word_len)
-        return batch.filter(pa.array(keep, pa.bool_()))
+        return batch.filter(
+            quality_gate_mask(
+                batch["extracted_text"], batch["lang"], batch["n_words"],
+                min_words, min_stop_ratio, max_mean_word_len,
+            )
+        )
 
     return articles.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -180,5 +220,21 @@ def curate(
     deduped = drop_exact_dups(gated)
     curated = drop_near_dups(deduped)
     if out_dir:
-        curated.write_parquet(out_dir)
+        # same partitioned sink + lineage sidecars as the extract job:
+        # url-hash partition files with checksums, auditable by
+        # `python -m crawtext_ray.audit`. NOTE: unlike extraction,
+        # curation dedup is GLOBAL, so lineage here gives atomic
+        # completion + integrity auditing, not partial-rerun reuse — a
+        # rerun recomputes the whole chain (winners can change).
+        from ..stages.partitioning import add_url_hash
+        from ..state.lineage import write_partitioned
+
+        keyed = add_url_hash(curated, num_buckets=num_partitions)
+        keyed = keyed.map_batches(
+            lambda t: t.append_column(
+                "partition_id", t["url_hash"].combine_chunks()
+            ).drop_columns(["url_hash"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        write_partitioned(keyed, out_dir).take_all()
     return curated

@@ -45,18 +45,28 @@ def first_by(ds, key: str, order_col: str, tiebreak: str | None = None):
 def drop_seen(ds, seen_keys, key: str = "url"):
     """J1 anti-join: ``seen_keys`` is a broadcast small side (python set /
     ray.ObjectRef of one). At cluster scale pass an ObjectRef so the set
-    ships once per worker, not per batch."""
+    ships once per worker, not per batch. The filter itself is a
+    vectorized ``pc.is_in`` against a value-set array built once per
+    worker."""
     import ray
 
     ref = seen_keys if isinstance(seen_keys, ray.ObjectRef) else ray.put(set(seen_keys))
 
     class AntiJoin:
         def __init__(self):
-            self.seen = ray.get(ref)
+            import pyarrow.compute as pc
+
+            self.pc = pc
+            self.value_set = pa.array(sorted(ray.get(ref)))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = [k not in self.seen for k in batch[key].to_pylist()]
-            return batch.filter(pa.array(mask, pa.bool_()))
+            if len(self.value_set) == 0:
+                return batch
+            return batch.filter(
+                self.pc.invert(
+                    self.pc.is_in(batch[key], value_set=self.value_set)
+                )
+            )
 
     from .fusion import map_stage
 

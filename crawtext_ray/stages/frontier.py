@@ -23,19 +23,11 @@ import ray
 
 
 def anti_join_broadcast(ds, seen_keys, key: str = "url"):
-    ref = seen_keys if isinstance(seen_keys, ray.ObjectRef) else ray.put(frozenset(seen_keys))
+    """Broadcast-side J1: vectorized ``pc.is_in`` against a value-set
+    array built once per worker from the broadcast seen set."""
+    from .dedup import drop_seen
 
-    class Mask:
-        def __init__(self):
-            self.seen = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = [k not in self.seen for k in batch[key].to_pylist()]
-            return batch.filter(pa.array(mask, pa.bool_()))
-
-    from .fusion import map_stage
-
-    return map_stage(ds, Mask)
+    return drop_seen(ds, seen_keys, key=key)
 
 
 def anti_join_grouped(new_ds, seen_ds, key: str = "url"):

@@ -265,6 +265,19 @@ def test_bfs_crawl_distributed_matches_broadcast(ray_session, pages_small):
     assert seen_big_set == set(seen_small)
 
 
+def test_anti_join_broadcast(ray_session):
+    import ray.data as rd
+
+    from crawtext_ray.stages.frontier import anti_join_broadcast
+
+    ds = rd.from_items([{"url": f"u{i}", "x": i} for i in range(10)])
+    out = anti_join_broadcast(ds, {f"u{i}" for i in range(0, 10, 2)})
+    rows = sorted(r["url"] for r in out.take_all())
+    assert rows == [f"u{i}" for i in range(1, 10, 2)]
+    # empty seen set = passthrough
+    assert anti_join_broadcast(ds, set()).count() == 10
+
+
 def test_anti_join_grouped(ray_session):
     import ray.data as rd
 

@@ -16,6 +16,54 @@ def test_curate_chain(ray_session, pages_small, tmp_path):
     import os
 
     assert any(f.endswith(".parquet") for f in os.listdir(out))
+    # the curated sink carries lineage sidecars and passes the auditor
+    from crawtext_ray.audit import audit
+
+    res = audit(out)
+    assert res and all(r["status"] == "ok" for r in res)
+    assert sum(r["rows"] for r in res) == len(df)
+
+
+def test_quality_gate_mask_matches_scalar_definition():
+    """The vectorized gate mask must equal the scalar per-row definition
+    on awkward inputs (punct-only tokens, empty text, unknown lang)."""
+    import pyarrow as pa
+
+    from crawtext_ray.extract.stopwords import stopword_set
+    from crawtext_ray.pipelines.training_data import quality_gate_mask
+
+    texts = [
+        "the cat sat on the mat and then the dog sat on the log " * 4,
+        "Zzz qqq " * 30,
+        "le chat est sur le tapis et il est content avec le lait " * 3,
+        "",
+        "!!! ... ??? " * 30,
+        "the, cat. sat; on: the! mat? " * 10,
+        "supercalifragilisticexpialidocious " * 40,
+    ]
+    langs = ["en", "en", "fr", "en", "en", "en", "xx"]
+    n_words = [len(t.split()) for t in texts]
+
+    sw_by_lang = {l: stopword_set(l) for l in ("en", "fr", "de", "es")}
+
+    def scalar(text, lang, nw, min_words=20, min_stop=0.1, max_mwl=14.0):
+        if nw < min_words:
+            return False
+        toks = text.lower().split()
+        if not toks:
+            return False
+        mean_len = sum(len(t) for t in toks) / len(toks)
+        sw = sw_by_lang.get(lang, sw_by_lang["en"])
+        stop_ratio = sum(1 for t in toks if t.strip(".,;:!?") in sw) / len(toks)
+        return stop_ratio >= min_stop and mean_len <= max_mwl
+
+    got = quality_gate_mask(
+        pa.array(texts), pa.array(langs),
+        pa.array(n_words, pa.int32()), 20, 0.1, 14.0,
+    ).to_pylist()
+    want = [scalar(t, l, w) for t, l, w in zip(texts, langs, n_words)]
+    assert got == want
+    assert True in got and False in got  # both branches exercised
 
 
 def test_drop_exact_dups_fallback_matches_broadcast(ray_session, pages_small):
