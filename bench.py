@@ -125,6 +125,14 @@ def run_bench() -> dict:
             concurrency=(2, max(4, NUM_CPUS // 2)),
         ),
     )
+    from crawtext_ray.stages.dedup import simhash_duplicates
+
+    timed(
+        "simhash_dups_docs",
+        lambda sf: simhash_duplicates(
+            rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        ),
+    )
 
     out = {
         "metric": "flagship extraction seconds (synthetic CC-style pages, "

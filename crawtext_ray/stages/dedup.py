@@ -287,9 +287,6 @@ def minhash_lsh_duplicates(
     fits ``dup_bucket_broadcast_cap``; above the cap the stage falls
     back to a fully keyed coarse-partition groupby (no broadcast, no
     driver state) — the 10^12-doc path."""
-    import ray
-    from ray.data.aggregate import Count, Min
-
     from .fusion import map_stage
 
     banded = map_stage(
@@ -299,6 +296,20 @@ def minhash_lsh_duplicates(
                               id_col=id_col),
         concurrency=concurrency if isinstance(concurrency, int) else "tasks",
     ).materialize()  # (id, band_keys): both passes below consume it
+    return banded_lsh_pairs(banded, bands, id_col, dup_bucket_broadcast_cap)
+
+
+def banded_lsh_pairs(banded, bands: int, id_col: str,
+                     dup_bucket_broadcast_cap: int = 5_000_000):
+    """Shared LSH pair machinery over a materialized (id, band_keys
+    fixed_size_list<int64, bands>) dataset — used by both the minhash and
+    simhash paths. One hash aggregate finds duplicate buckets; pair
+    emission is an in-row broadcast lookup under the cap, a keyed
+    coarse-partition groupby above it (see minhash_lsh_duplicates)."""
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    from .fusion import map_stage
 
     def explode(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -500,37 +511,36 @@ def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
     return map_stage(ds, lambda: _SimHash(text_col, id_col))
 
 
-def simhash_duplicates(ds, text_col: str = "text", id_col: str = "doc_id"):
+def simhash_duplicates(ds, text_col: str = "text", id_col: str = "doc_id",
+                       dup_bucket_broadcast_cap: int = 5_000_000):
     """Near-dup candidates: docs sharing any of the four 16-bit simhash
-    bands (classic Charikar banding) → (id, rep_id) pairs."""
+    bands (classic Charikar banding) → (id, rep_id) pairs, via the shared
+    banded-LSH machinery (the band index is folded into the bucket key
+    as the top bits, so buckets never merge across bands)."""
     sigs = simhash_signatures(ds, text_col, id_col)
 
-    def explode(batch: pa.Table) -> pa.Table:
-        ids, bands, keys = [], [], []
-        for i, h in zip(batch[id_col].to_pylist(), batch["simhash"].to_pylist()):
-            for b in range(4):
-                ids.append(i)
-                bands.append(b)
-                keys.append((int(h) >> (16 * b)) & 0xFFFF)
-        return pa.table({id_col: ids, "band": bands, "band_key": keys})
+    def to_band_keys(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        h = np.asarray(batch["simhash"].to_pylist(), dtype=np.uint64)
+        keys = np.empty((n, 4), dtype=np.int64) if n else np.empty(
+            (0, 4), dtype=np.int64
+        )
+        for b in range(4):
+            quarter = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            keys[:, b] = (quarter | np.uint64(b) << np.uint64(16)).view(
+                np.int64
+            )
+        return pa.table({
+            id_col: batch[id_col],
+            "band_keys": pa.FixedSizeListArray.from_arrays(
+                pa.array(keys.reshape(-1), pa.int64()), 4
+            ),
+        })
 
-    banded = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-
-    def bucket_rep(g: pd.DataFrame) -> pd.DataFrame:
-        rep = g[id_col].min()
-        cand = g[g[id_col] != rep]
-        if cand.empty:
-            return pd.DataFrame({id_col: [], "rep_id": []}).astype("int64")
-        return pd.DataFrame({id_col: cand[id_col].values, "rep_id": rep})
-
-    pairs = banded.groupby(["band", "band_key"]).map_groups(
-        bucket_rep, batch_format="pandas"
-    )
-
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("rep_id", kind="stable").head(1)
-
-    return pairs.groupby(id_col).map_groups(pick, batch_format="pandas")
+    banded = sigs.map_batches(
+        to_band_keys, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    return banded_lsh_pairs(banded, 4, id_col, dup_bucket_broadcast_cap)
 
 
 # -------------------------------------------- n-gram jaccard verify ----
@@ -648,6 +658,120 @@ def verify_pairs_jaccard(ds_pairs, docs_lookup, text_col: str = "text",
     from .fusion import map_stage
 
     return map_stage(ds_pairs, Verify)
+
+
+def verify_pairs_jaccard_distributed(ds_pairs, ds_docs, text_col: str = "text",
+                                     id_col: str = "doc_id", k: int = 5,
+                                     threshold: float = 0.8):
+    """Broadcast-free candidate verification — the 100 TB form of
+    ``verify_pairs_jaccard``: texts are ROUTED to their pairs through two
+    keyed exchanges instead of shipping an {id: text} dict to every
+    worker.
+
+    Exchange 1 groups pair rows with doc rows on the pair's left id and
+    attaches the left shingle set (as a uint64 array column — text never
+    leaves its first groupby); exchange 2 does the same on rep_id and
+    computes the exact n-gram Jaccard in-group. Each exchange carries one
+    row per pair plus one row per doc with its shingle array: O(corpus
+    shingles), hash-partitioned, nothing driver- or worker-resident."""
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        sh = [_shingle_array(x or "", k) for x in t[text_col].to_pylist()]
+        return pa.table({
+            "key": t[id_col],
+            "rep_id": pa.nulls(t.num_rows, t.schema.field(id_col).type),
+            "sh": pa.array(sh, pa.list_(pa.uint64())),
+            "sh_left": pa.nulls(t.num_rows, pa.list_(pa.uint64())),
+        })
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t[id_col],
+            "rep_id": t["rep_id"],
+            "sh": pa.nulls(t.num_rows, pa.list_(pa.uint64())),
+            "sh_left": pa.nulls(t.num_rows, pa.list_(pa.uint64())),
+        })
+
+    docs1 = ds_docs.map_batches(doc_rows, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    pairs1 = ds_pairs.map_batches(pair_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def attach_left(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        doc = g.filter(pc.is_valid(g["sh"]))
+        prs = g.filter(pc.invert(pc.is_valid(g["sh"])))
+        id_type = g.schema.field("key").type
+        if prs.num_rows == 0:
+            return pa.table({
+                "key": pa.array([], id_type),
+                "left_id": pa.array([], id_type),
+                "sh": pa.array([], pa.list_(pa.uint64())),
+                "sh_left": pa.array([], pa.list_(pa.uint64())),
+            })
+        sh_py = doc["sh"][0].as_py() if doc.num_rows else []
+        return pa.table({
+            # re-key on rep_id for exchange 2
+            "key": prs["rep_id"],
+            "left_id": prs["key"],
+            "sh": pa.nulls(prs.num_rows, pa.list_(pa.uint64())),
+            "sh_left": pa.array([sh_py] * prs.num_rows, pa.list_(pa.uint64())),
+        })
+
+    routed = docs1.union(pairs1).groupby("key").map_groups(
+        attach_left, batch_format="pyarrow"
+    )
+
+    def docs_for_right(t: pa.Table) -> pa.Table:
+        sh = [_shingle_array(x or "", k) for x in t[text_col].to_pylist()]
+        return pa.table({
+            "key": t[id_col],
+            "left_id": pa.nulls(t.num_rows, t.schema.field(id_col).type),
+            "sh": pa.array(sh, pa.list_(pa.uint64())),
+            "sh_left": pa.nulls(t.num_rows, pa.list_(pa.uint64())),
+        })
+
+    docs2 = ds_docs.map_batches(docs_for_right, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def score(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        doc = g.filter(pc.is_valid(g["sh"]))
+        prs = g.filter(pc.is_valid(g["sh_left"]))
+        id_type = g.schema.field("key").type
+        empty = pa.table({
+            id_col: pa.array([], id_type),
+            "rep_id": pa.array([], id_type),
+            "jaccard": pa.array([], pa.float64()),
+        })
+        if prs.num_rows == 0:
+            return empty
+        sb = set(doc["sh"][0].as_py()) if doc.num_rows else set()
+        out_i, out_r, out_j = [], [], []
+        for left, sha in zip(prs["left_id"].to_pylist(),
+                             prs["sh_left"].to_pylist()):
+            sa = set(sha)
+            if not sa and not sb:
+                j = 1.0
+            elif not sa or not sb:
+                j = 0.0
+            else:
+                j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                out_i.append(left)
+                out_r.append(g["key"][0].as_py())
+                out_j.append(j)
+        return pa.table({
+            id_col: pa.array(out_i, id_type),
+            "rep_id": pa.array(out_r, id_type),
+            "jaccard": pa.array(out_j, pa.float64()),
+        })
+
+    return docs2.union(routed).groupby("key").map_groups(
+        score, batch_format="pyarrow"
+    )
 
 
 # ------------------------------------------- connected components ----

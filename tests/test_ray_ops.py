@@ -59,6 +59,28 @@ def test_jaccard_verify(ray_session, docs_with_dups):
     assert 102 in vids and 101 in vids
 
 
+def test_jaccard_verify_distributed_matches_broadcast(ray_session, docs_with_dups):
+    """The broadcast-free routed verifier must agree with the broadcast
+    dict verifier on pairs, reps, and jaccard values."""
+    from crawtext_ray.stages.dedup import (
+        minhash_lsh_duplicates,
+        verify_pairs_jaccard,
+        verify_pairs_jaccard_distributed,
+    )
+
+    docs = {r["doc_id"]: r["text"] for r in docs_with_dups.take_all()}
+    pairs = minhash_lsh_duplicates(docs_with_dups, shingle_k=3).materialize()
+    a = verify_pairs_jaccard(pairs, docs, k=3, threshold=0.8).to_pandas()
+    b = verify_pairs_jaccard_distributed(
+        pairs, docs_with_dups, k=3, threshold=0.8
+    ).to_pandas()
+    fa = {(int(r["doc_id"]), int(r["rep_id"]), round(r["jaccard"], 12))
+          for _, r in a.iterrows()}
+    fb = {(int(r["doc_id"]), int(r["rep_id"]), round(r["jaccard"], 12))
+          for _, r in b.iterrows()}
+    assert fa == fb and len(fa) >= 2
+
+
 def test_simhash_duplicates(docs_with_dups):
     from crawtext_ray.stages.dedup import simhash_duplicates
 
