@@ -393,6 +393,23 @@ def test_minhash_fallback_matches_broadcast(ray_session, docs_with_dups):
     assert (102, 100) in pa_
 
 
+def test_sampling_native_and_deterministic(ray_session):
+    """T3: Ray-native random_sample bounds + the reproducible hash-sample
+    operator (same rows on every run)."""
+    import ray.data as rd
+
+    from crawtext_ray.stages.relational import sample_docs_deterministic
+
+    ds = rd.range(10_000)
+    n = ds.random_sample(0.1, seed=7).count()
+    assert 700 <= n <= 1300  # ~10% with slack
+
+    a = sample_docs_deterministic("/root/testdata/sf0.001").to_pandas()
+    b = sample_docs_deterministic("/root/testdata/sf0.001").to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    assert 0 < len(a) < 500
+
+
 def test_build_bloom_distributed(ray_session):
     import ray.data as rd
 
