@@ -54,21 +54,25 @@ def anti_join_grouped(new_ds, seen_ds, key: str = "url"):
 
 def outlinks_frontier(articles, depth: int):
     """M6 -> frontier rows: flat_map outlinks with page-level dedup
-    already applied by the extractor; returns (url, depth, parent_url)."""
+    already applied by the extractor; returns (url, depth, parent_url).
+    Arrow list-flatten — no Python loop over links."""
+    import numpy as np
 
     def explode(batch: pa.Table) -> pa.Table:
-        urls, parents = [], []
-        for page_url, links in zip(
-            batch["url"].to_pylist(), batch["outlinks"].to_pylist()
-        ):
-            for l in links or []:
-                urls.append(l)
-                parents.append(page_url)
+        links = batch["outlinks"].combine_chunks()
+        flat = links.flatten()  # respects slicing/nulls
+        offs = links.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        parents = batch["url"].combine_chunks().take(
+            pa.array(np.repeat(np.arange(len(links), dtype=np.int64), widths))
+        )
         return pa.table(
             {
-                "url": pa.array(urls, pa.string()),
-                "depth": pa.array([depth] * len(urls), pa.int32()),
-                "parent_url": pa.array(parents, pa.string()),
+                "url": flat,
+                "depth": pa.array(
+                    np.full(len(flat), depth, dtype=np.int32), pa.int32()
+                ),
+                "parent_url": parents,
             }
         )
 
