@@ -278,6 +278,36 @@ def _q_pdf_extract(sf_dir: str):
     )
 
 
+def _q_frame_samples(sf_dir: str):
+    """Video frame-sampling plumbing over fake payloads. Payloads are
+    ASCII-sanitized text bytes so the byte-based frame slicing equals the
+    character-based SQL oracle (sha256/substr are VARCHAR-only in
+    DuckDB); the operator itself stays byte-based for real codecs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawtext_ray.stages.multimodal import sample_frames
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch["doc_id"],
+                "payload": pa.array(
+                    [(t or "").encode("ascii", "ignore")
+                     for t in batch["text"].to_pylist()],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return sample_frames(media, every_n=10)
+
+
 def _q_bfs_crawl(sf_dir: str):
     """T2 BFS rounds over the synthetic pages corpus (rows-only)."""
     import ray.data as rd
@@ -382,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand_nation": R.parts_by_brand_nation,
         # multimodal plumbing (rows-only; decode stubbed)
         "media_features": _q_media_features,
+        "frame_samples": _q_frame_samples,
         "bfs_crawl_pages": _q_bfs_crawl,
         "pdf_extract": _q_pdf_extract,
         # flagship extraction over synthetic pages (rows-only: non-SQL)
@@ -626,6 +657,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM t, UNNEST(generate_series(0, "
             "CAST(floor((len(toks) - 1) / 48) AS BIGINT))) AS u(k) "
             "WHERE len(toks) >= 1"
+        ),
+        "frame_samples": (
+            "WITH m AS (SELECT doc_id AS media_id, "
+            r"regexp_replace(text, '[^\x00-\x7f]', '', 'g') AS p FROM documents), "
+            "f AS (SELECT media_id, p, greatest(1, "
+            "CAST(floor(length(p) / 1024) AS BIGINT)) AS n_frames FROM m) "
+            "SELECT media_id, k AS frame_index, "
+            "sha256(substr(p, k * 1024 + 1, 1024)) AS frame_sha "
+            "FROM f, UNNEST(generate_series(0, n_frames - 1, 10)) AS u(k)"
         ),
         "lang_id_docs": _LANG_ID_SQL,
         "text_features_docs": _TEXT_FEATURES_SQL,
