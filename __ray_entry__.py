@@ -658,6 +658,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor((len(toks) - 1) / 48) AS BIGINT))) AS u(k) "
             "WHERE len(toks) >= 1"
         ),
+        "media_features": 'WITH m AS (SELECT doc_id AS media_id, sha256(text) AS h, octet_length(CAST(text AS BLOB)) AS nb FROM documents), b AS (SELECT media_id, h, nb, (strpos(\'0123456789abcdef\', substr(h, 1, 1)) - 1) * 16 + (strpos(\'0123456789abcdef\', substr(h, 2, 1)) - 1) AS b0, (strpos(\'0123456789abcdef\', substr(h, 3, 1)) - 1) * 16 + (strpos(\'0123456789abcdef\', substr(h, 4, 1)) - 1) AS b1, (strpos(\'0123456789abcdef\', substr(h, 5, 1)) - 1) * 16 + (strpos(\'0123456789abcdef\', substr(h, 6, 1)) - 1) AS b2 FROM m) SELECT media_id, h AS "sha256", CAST(nb AS BIGINT) AS n_bytes, CAST(64 + b0 % 192 AS BIGINT) AS width, CAST(64 + b1 % 192 AS BIGINT) AS height, b2 / 255.0 AS mean_luma FROM b',
         "frame_samples": (
             "WITH m AS (SELECT doc_id AS media_id, "
             r"regexp_replace(text, '[^\x00-\x7f]', '', 'g') AS p FROM documents), "
