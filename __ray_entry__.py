@@ -278,6 +278,33 @@ def _q_pdf_extract(sf_dir: str):
     )
 
 
+def _q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog distinct-user estimate (rows-only: deterministic but
+    approximate, no SQL analog; accuracy + determinism are pytest-bound).
+    Distributed build: per-block register partials, max-merged driver-side
+    (O(4096) bytes, never O(keys))."""
+    import pandas as pd
+    import ray.data as rd
+
+    from crawtext_ray.state.hll import build_hll
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    h = build_hll(events, "user_id", p=12)
+    return pd.DataFrame({"approx_distinct": [float(h.estimate())]})
+
+
+def _q_distinct_users_count(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id): keyed groupby then a count of the
+    group rows — the exact companion the HLL sketch approximates."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    n = events.groupby("user_id").aggregate(Count(alias_name="n")).count()
+    return pd.DataFrame({"n_distinct": pd.Series([n], dtype="int64")})
+
+
 def _q_frame_samples(sf_dir: str):
     """Video frame-sampling plumbing over fake payloads. Payloads are
     ASCII-sanitized text bytes so the byte-based frame slicing equals the
@@ -413,6 +440,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (rows-only; decode stubbed)
         "media_features": _q_media_features,
         "frame_samples": _q_frame_samples,
+        "approx_distinct_users": _q_approx_distinct_users,
+        "distinct_users_count": _q_distinct_users_count,
         "bfs_crawl_pages": _q_bfs_crawl,
         "pdf_extract": _q_pdf_extract,
         # flagship extraction over synthetic pages (rows-only: non-SQL)
@@ -657,6 +686,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM t, UNNEST(generate_series(0, "
             "CAST(floor((len(toks) - 1) / 48) AS BIGINT))) AS u(k) "
             "WHERE len(toks) >= 1"
+        ),
+        "distinct_users_count": (
+            "SELECT count(DISTINCT user_id) AS n_distinct FROM events"
         ),
         "media_features": 'WITH m AS (SELECT doc_id AS media_id, sha256(text) AS h, octet_length(CAST(text AS BLOB)) AS nb FROM documents), b AS (SELECT media_id, h, nb, (strpos(\'0123456789abcdef\', substr(h, 1, 1)) - 1) * 16 + (strpos(\'0123456789abcdef\', substr(h, 2, 1)) - 1) AS b0, (strpos(\'0123456789abcdef\', substr(h, 3, 1)) - 1) * 16 + (strpos(\'0123456789abcdef\', substr(h, 4, 1)) - 1) AS b1, (strpos(\'0123456789abcdef\', substr(h, 5, 1)) - 1) * 16 + (strpos(\'0123456789abcdef\', substr(h, 6, 1)) - 1) AS b2 FROM m) SELECT media_id, h AS "sha256", CAST(nb AS BIGINT) AS n_bytes, CAST(64 + b0 % 192 AS BIGINT) AS width, CAST(64 + b1 % 192 AS BIGINT) AS height, b2 / 255.0 AS mean_luma FROM b',
         "frame_samples": (

@@ -423,6 +423,23 @@ def test_build_bloom_distributed(ray_session):
     assert misses <= 5
 
 
+def test_hll_distributed_build_matches_serial(ray_session):
+    """The per-block max-merged HLL must equal a serial build over the
+    same keys (register-exact), and estimate within ~3% of truth."""
+    import ray.data as rd
+
+    from crawtext_ray.state.hll import HyperLogLog, build_hll
+
+    keys = [f"user-{i % 700}" for i in range(5000)]  # dups collapse
+    ds = rd.from_items([{"user_id": k} for k in keys],
+                       override_num_blocks=8)
+    dist = build_hll(ds, "user_id", p=12)
+    ser = HyperLogLog(12)
+    ser.update(keys)
+    assert np.array_equal(dist.registers, ser.registers)
+    assert abs(dist.estimate() - 700) / 700 < 0.03
+
+
 def test_bloom_incremental_recrawl(ray_session, pages_small):
     """Batch-incremental re-crawl (SURVEY.md §2.10): second run skips
     already-extracted urls via a Bloom anti-join."""
