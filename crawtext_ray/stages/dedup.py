@@ -800,12 +800,12 @@ def connected_components(pairs, id_col: str = "doc_id",
     no relabeling)."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        a = batch[id_col].to_pylist()
-        b = batch[rep_col].to_pylist()
+        a = batch[id_col].combine_chunks().cast(pa.int64())
+        b = batch[rep_col].combine_chunks().cast(pa.int64())
         return pa.table(
             {
-                "node": pa.array(a + b, pa.int64()),
-                "nbr": pa.array(b + a, pa.int64()),
+                "node": pa.concat_arrays([a, b]),
+                "nbr": pa.concat_arrays([b, a]),
             }
         )
 

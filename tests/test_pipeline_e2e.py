@@ -169,6 +169,36 @@ def test_relevance_query_filters(ray_session, pages_small):
         assert any(w in text for w in ("market", "marché", "markt", "mercado"))
 
 
+def test_hash_shuffle_keyed_repartition_true_colocation(ray_session, pages_small):
+    """Under HASH_SHUFFLE (the --hash-shuffle CLI path), keyed
+    repartition truly co-locates keys AND the extraction output is
+    unchanged; the DataContext is restored afterwards."""
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    from crawtext_ray.pipelines.flagship import build_articles
+    from crawtext_ray.stages.partitioning import use_hash_shuffle
+
+    ctx = DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    try:
+        use_hash_shuffle()
+        assert ctx.shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE
+        a = (
+            build_articles(pages_small, num_partitions=4,
+                           skew_break="repartition", concurrency="tasks")
+            .to_pandas()[["url", "content_sha256"]]
+            .sort_values("url").reset_index(drop=True)
+        )
+    finally:
+        ctx.shuffle_strategy = prev
+    b = (
+        build_articles(pages_small, num_partitions=4, concurrency="tasks")
+        .to_pandas()[["url", "content_sha256"]]
+        .sort_values("url").reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
 def test_keyed_repartition_mode_preserves_rows(ray_session, pages_small):
     """skew_break='repartition' (url-hash keyed pre-extract exchange)
     yields the same row set and bytes as the streaming default."""
