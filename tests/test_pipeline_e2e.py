@@ -169,6 +169,44 @@ def test_relevance_query_filters(ray_session, pages_small):
         assert any(w in text for w in ("market", "marché", "markt", "mercado"))
 
 
+def test_extract_survives_null_rows(ray_session, tmp_path):
+    """Real dumps carry nulls: html NULL, lang NULL, empty html — the
+    stage must emit a row per input with a sane status, never crash."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawtext_ray.stages.extract_stage import extract_articles
+
+    ts = datetime.datetime(2024, 1, 1)
+    t = pa.table({
+        "url": pa.array(["http://a.example/1", "http://a.example/2",
+                         "http://a.example/3", None], pa.string()),
+        "warc_ts": pa.array([ts] * 4, pa.timestamp("us")),
+        "html": pa.array(
+            [("<html><body><p>" +
+              "This is a real paragraph with the usual function words "
+              "that the content scorer wants to see in an article. " * 3 +
+              "</p></body></html>").encode(),
+             None, b"", b"<p>x</p>"], pa.binary()),
+        "text": pa.array(["", "", "", ""], pa.string()),
+        "lang": pa.array(["en", None, "en", "en"], pa.string()),
+    })
+    path = str(tmp_path / "pages")
+    import os
+
+    os.makedirs(path)
+    pq.write_table(t, f"{path}/part-0.parquet")
+    out = extract_articles(rd.read_parquet(path)).to_pandas()
+    assert len(out) == 4
+    assert set(out["status"]) <= {"ok", "empty", "parse_error", "blocked"}
+    ok = out[out["url"] == "http://a.example/1"]
+    assert ok["status"].iloc[0] == "ok"
+    assert "real paragraph with the usual" in ok["extracted_text"].iloc[0]
+
+
 def test_hash_shuffle_keyed_repartition_true_colocation(ray_session, pages_small):
     """Under HASH_SHUFFLE (the --hash-shuffle CLI path), keyed
     repartition truly co-locates keys AND the extraction output is
