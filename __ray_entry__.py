@@ -278,6 +278,56 @@ def _q_pdf_extract(sf_dir: str):
     )
 
 
+def _q_resize_images(sf_dir: str):
+    """Image-resize plumbing over fake payloads (kernel stubbed): aspect-
+    preserving integer target dims + deterministic resized-content id."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawtext_ray.stages.multimodal import resize_images
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch["doc_id"],
+            "payload": pa.array(
+                [(t or "").encode() for t in batch["text"].to_pylist()],
+                pa.binary(),
+            ),
+        })
+
+    media = docs.map_batches(to_media, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return resize_images(media, max_side=256)
+
+
+def _q_audio_segments(sf_dir: str):
+    """Audio segmentation plumbing over fake payloads (codec stubbed):
+    fixed 10 s windows over the fake duration model."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawtext_ray.stages.multimodal import audio_segments
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch["doc_id"],
+            "payload": pa.array(
+                [(t or "").encode() for t in batch["text"].to_pylist()],
+                pa.binary(),
+            ),
+        })
+
+    media = docs.map_batches(to_media, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return audio_segments(media, window_ms=10_000)
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """HyperLogLog distinct-user estimate (rows-only: deterministic but
     approximate, no SQL analog; accuracy + determinism are pytest-bound).
@@ -441,6 +491,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "frame_samples": _q_frame_samples,
         "approx_distinct_users": _q_approx_distinct_users,
+        "resize_images_docs": _q_resize_images,
+        "audio_segments_docs": _q_audio_segments,
         "distinct_users_count": _q_distinct_users_count,
         "bfs_crawl_pages": _q_bfs_crawl,
         "pdf_extract": _q_pdf_extract,
@@ -687,6 +739,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor((len(toks) - 1) / 48) AS BIGINT))) AS u(k) "
             "WHERE len(toks) >= 1"
         ),
+        "resize_images_docs": "WITH m AS (SELECT doc_id AS media_id, text, sha256(text) AS h FROM documents), b AS (SELECT media_id, text, 64 + ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 192 AS w, 64 + ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 192 AS hh FROM m), d AS (SELECT media_id, text, w, hh, greatest(w, hh) AS side FROM b), r AS (SELECT media_id, text, CASE WHEN side <= 256 THEN w ELSE greatest(1, CAST(floor(w * 256.0 / side) AS BIGINT)) END AS out_width, CASE WHEN side <= 256 THEN hh ELSE greatest(1, CAST(floor(hh * 256.0 / side) AS BIGINT)) END AS out_height FROM d) SELECT media_id, CAST(out_width AS BIGINT) AS out_width, CAST(out_height AS BIGINT) AS out_height, sha256(text || '|' || out_width || 'x' || out_height) AS resized_sha FROM r",
+        "audio_segments_docs": 'WITH m AS (SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS nb FROM documents), d AS (SELECT media_id, greatest(1, CAST(floor(nb / 16) AS BIGINT)) AS dur FROM m) SELECT media_id, k AS seg_index, k * 10000 AS t_start_ms, least(k * 10000 + 10000, dur) AS t_end_ms FROM d, UNNEST(generate_series(0, CAST(floor((dur - 1) / 10000) AS BIGINT))) AS u(k)',
         "distinct_users_count": (
             "SELECT count(DISTINCT user_id) AS n_distinct FROM events"
         ),

@@ -254,6 +254,42 @@ def test_multimodal_fake_decode_and_stub(ray_session):
         )
 
 
+def test_multimodal_resize_and_audio_stages(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from crawtext_ray.stages.multimodal import (
+        AudioSegments,
+        ResizeImages,
+        audio_segments,
+        resize_images,
+    )
+
+    media = rd.from_items(
+        [{"media_id": i, "payload": bytes([i]) * (40_000 * (i + 1))}
+         for i in range(4)]
+    )
+    rs = resize_images(media, max_side=128).to_pandas()
+    assert len(rs) == 4
+    assert (rs["out_width"] <= 128).all() and (rs["out_height"] <= 128).all()
+    assert rs["resized_sha"].is_unique
+
+    seg = audio_segments(media, window_ms=1000).to_pandas()
+    # fake model: 1 ms per 16 bytes → media 0 = 2500 ms → 3 windows
+    m0 = seg[seg["media_id"] == 0].sort_values("seg_index")
+    assert list(m0["t_start_ms"]) == [0, 1000, 2000]
+    assert list(m0["t_end_ms"]) == [1000, 2000, 2500]
+    # real-decode stubs raise with the dependency note
+    import pyarrow as pa
+
+    b = pa.table({"media_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([b"x"], pa.binary())})
+    with pytest.raises(NotImplementedError):
+        ResizeImages(decode="real")(b)
+    with pytest.raises(NotImplementedError):
+        AudioSegments(decode="real")(b)
+
+
 def test_bfs_crawl_rounds(ray_session, pages_small):
     import ray.data as rd
 
