@@ -130,6 +130,16 @@ def _q_jaccard_brute(sf_dir: str):
     return jaccard_dups_brute(docs, k=3, threshold=0.5)
 
 
+def _q_vocabulary(sf_dir: str):
+    import ray.data as rd
+
+    from crawtext_ray.stages.textops import vocabulary_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return vocabulary_topk(docs, k=100)
+
+
 def _q_redact_pii(sf_dir: str):
     import ray.data as rd
 
@@ -484,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": R.top_events_per_user,
         "asof_click_before_purchase": R.asof_click_before_purchase,
         "redact_pii_docs": _q_redact_pii,
+        "vocabulary_topk": _q_vocabulary,
         "chunk_docs": _q_chunk_docs,
         "jaccard_dups_brute": _q_jaccard_brute,
         "parts_by_brand_nation": R.parts_by_brand_nation,
@@ -722,6 +733,14 @@ def oracle_sql() -> dict[str, str]:
             "AND k.event_type = 'click' AND k.ts <= p.ts "
             "WHERE p.event_type = 'purchase') "
             "SELECT event_id, click_event_id FROM c WHERE rn = 1"
+        ),
+        "vocabulary_topk": (
+            "WITH t AS (SELECT list_filter("
+            "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') "
+            "AS toks FROM documents) "
+            "SELECT tok AS token, CAST(count(*) AS BIGINT) AS n "
+            "FROM t, UNNEST(toks) AS u(tok) "
+            "GROUP BY tok ORDER BY n DESC, token LIMIT 100"
         ),
         "redact_pii_docs": (
             "SELECT doc_id, regexp_replace(regexp_replace(text, "

@@ -138,6 +138,39 @@ def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def vocabulary_topk(ds, text_col: str = "text", k: int = 100):
+    """Corpus vocabulary: top-k tokens by global count (tokens =
+    lowercased [a-z0-9]+ runs), ties broken lexicographically.
+
+    The shuffle-volume pattern the 100 TB story requires: each block
+    PRE-AGGREGATES its token counts map-side (value_counts over the
+    flattened token array), so the keyed exchange carries one
+    (token, partial_n) row per DISTINCT token per block — O(block
+    vocabulary), not O(corpus tokens) — then one Sum groupby and a tiny
+    top-k sort."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch[text_col])
+        toks = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+        arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        vals = arr.flatten()
+        vals = vals.filter(pc.greater(pc.utf8_length(vals), 0))
+        vc = pc.value_counts(vals)
+        return pa.table({
+            "token": vc.field("values"),
+            "partial_n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    totals = partials.groupby("token").aggregate(
+        Sum("partial_n", alias_name="n")
+    )
+    return totals.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
 def relevance_filter(ds, expression: str, text_col: str = "text",
                      id_col: str = "doc_id"):
     """M7 over a documents table: compile the boolean query once per
