@@ -134,6 +134,21 @@ def run_bench() -> dict:
         ),
     )
 
+    # full curation chain on the 10k-page fixture: extract → quality gate
+    # → exact dedup (key-only shuffle + loser anti-join) → minhash
+    # near-dup drop (distributed bloom) → partitioned auditable sink
+    import shutil
+
+    from crawtext_ray.pipelines.training_data import curate
+    from fixtures.gen_pages import generate
+
+    mid_pages = generate(FIXTURE_ROOT, "mid")
+    shutil.rmtree("/tmp/bench_curate", ignore_errors=True)
+    t = time.time()
+    curate(mid_pages, out_dir="/tmp/bench_curate", num_partitions=16,
+           concurrency="tasks", min_words=10)
+    queries["curate_10k_pages"] = round(time.time() - t, 3)
+
     out = {
         "metric": "flagship extraction seconds (synthetic CC-style pages, "
         f"{n_pages} docs) + headline operator seconds over {SF_DIR}",
