@@ -162,7 +162,8 @@ def drop_exact_dups(articles, loser_broadcast_cap: int = 5_000_000):
 
 
 def drop_near_dups(articles, num_perm: int = 64, bands: int = 16,
-                   shingle_k: int = 5, fp_rate: float = 1e-4):
+                   shingle_k: int = 5, fp_rate: float = 1e-4,
+                   verify_threshold: float | None = None):
     """MinHash-LSH near-dup removal over extracted text, keyed by url.
 
     The dup-url set is folded into a Bloom filter built DISTRIBUTED
@@ -170,7 +171,12 @@ def drop_near_dups(articles, num_perm: int = 64, bands: int = 16,
     O(filter), never O(dup urls)), then applied as a streaming
     anti-join. A Bloom false positive drops a non-dup article; near-dup
     removal is already approximate, so ``fp_rate`` only needs to keep
-    that loss negligible (default 1e-4)."""
+    that loss negligible (default 1e-4).
+
+    ``verify_threshold``: when set, LSH candidate pairs are verified
+    with the exact n-gram Jaccard (broadcast-free routed verifier) and
+    only pairs at/above the threshold are dropped — the precision knob
+    that keeps LSH band collisions from deleting non-duplicates."""
     from ..state.bloom import bloom_anti_join, build_bloom
 
     pairs = minhash_lsh_duplicates(
@@ -181,6 +187,17 @@ def drop_near_dups(articles, num_perm: int = 64, bands: int = 16,
         bands=bands,
         shingle_k=shingle_k,
     ).materialize()  # small: one row per near-dup candidate
+    if verify_threshold is not None and pairs.count() > 0:
+        from ..stages.dedup import verify_pairs_jaccard_distributed
+
+        pairs = verify_pairs_jaccard_distributed(
+            pairs,
+            articles.select_columns(["url", "extracted_text"]),
+            text_col="extracted_text",
+            id_col="url",
+            k=shingle_k,
+            threshold=verify_threshold,
+        ).materialize()
     n_dups = pairs.count()
     if n_dups == 0:
         return articles

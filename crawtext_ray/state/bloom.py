@@ -18,9 +18,16 @@ import numpy as np
 
 class BloomFilter:
     def __init__(self, capacity: int, fp_rate: float = 0.001):
-        m = max(64, int(-capacity * math.log(fp_rate) / (math.log(2) ** 2)))
+        m = max(1024, int(-capacity * math.log(fp_rate) / (math.log(2) ** 2)))
         self.n_bits = (m + 63) // 64 * 64
-        self.n_hashes = max(1, round((self.n_bits / max(1, capacity)) * math.log(2)))
+        # optimal k is (m/n)·ln2, but the 64-bit floor on m inflates that
+        # wildly for tiny capacities (capacity=1 → 44 hashes over 64 bits
+        # = a saturated filter that false-positives constantly); k never
+        # needs to exceed ceil(-log2(fp)) — the value the optimal-m case
+        # converges to
+        k_opt = round((self.n_bits / max(1, capacity)) * math.log(2))
+        k_cap = max(1, round(-math.log2(fp_rate)))
+        self.n_hashes = max(1, min(k_opt, k_cap))
         self.bits = np.zeros(self.n_bits // 64, dtype=np.uint64)
 
     @classmethod
@@ -41,6 +48,7 @@ class BloomFilter:
 
     def _positions(self, key: str) -> np.ndarray:
         h1, h2 = self._h2(key)
+        h2 |= 1  # odd stride → full cycle modulo the power-of-two bit count
         i = np.arange(self.n_hashes, dtype=np.uint64)
         with np.errstate(over="ignore"):
             return (np.uint64(h1) + i * np.uint64(h2)) % np.uint64(self.n_bits)

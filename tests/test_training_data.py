@@ -24,6 +24,31 @@ def test_curate_chain(ray_session, pages_small, tmp_path):
     assert sum(r["rows"] for r in res) == len(df)
 
 
+def test_drop_near_dups_verified_keeps_non_dups(ray_session):
+    """With verify_threshold set, only candidates that pass exact Jaccard
+    are dropped — a planted true near-dup goes, distinct docs stay."""
+    import ray.data as rd
+
+    from crawtext_ray.pipelines.training_data import drop_near_dups
+
+    base = ("the quick brown fox jumps over the lazy dog and the rain "
+            "in spain falls mainly on the plain near the mat ") * 4
+    rows = [{"url": f"http://x/{i}",
+             "extracted_text": f"document {i} " + " ".join(
+                 f"tok{i}x{j}" for j in range(60))}
+            for i in range(15)]
+    rows.append({"url": "http://x/dupA", "extracted_text": base})
+    rows.append({"url": "http://x/dupB",
+                 "extracted_text": base.replace("lazy", "sleepy", 1)})
+    arts = rd.from_items(rows).materialize()
+    kept = drop_near_dups(arts, shingle_k=3,
+                          verify_threshold=0.8).to_pandas()
+    urls = set(kept["url"])
+    assert "http://x/dupA" in urls  # the min-url representative survives
+    assert "http://x/dupB" not in urls  # the verified near-dup is dropped
+    assert all(f"http://x/{i}" in urls for i in range(15))
+
+
 def test_quality_gate_mask_matches_scalar_definition():
     """The vectorized gate mask must equal the scalar per-row definition
     on awkward inputs (punct-only tokens, empty text, unknown lang)."""
