@@ -213,9 +213,12 @@ def curate(
     num_partitions: int = 16,
     concurrency="tasks",
     min_words: int = 20,
+    verify_dups: float | None = None,
 ):
     """Full curation chain; returns the curated articles Dataset (written
-    to ``out_dir`` when given)."""
+    to ``out_dir`` when given). ``verify_dups``: exact-Jaccard threshold
+    for verifying LSH near-dup candidates before dropping (None = drop
+    all candidates)."""
     arts = build_articles(
         pages_path,
         query_expression=query_expression,
@@ -235,7 +238,7 @@ def curate(
     # At 100 TB the equivalent checkpoint is a parquet write + re-read.
     gated = quality_gate(ok, min_words=min_words).materialize()
     deduped = drop_exact_dups(gated)
-    curated = drop_near_dups(deduped)
+    curated = drop_near_dups(deduped, verify_threshold=verify_dups)
     if out_dir:
         # same partitioned sink + lineage sidecars as the extract job:
         # url-hash partition files with checksums, auditable by

@@ -32,6 +32,10 @@ def main(argv: list[str] | None = None) -> int:
                          "gate + exact & near dedup) instead of the raw "
                          "extract job")
     ap.add_argument("--min-words", type=int, default=20)
+    ap.add_argument("--verify-dups", type=float, default=None,
+                    help="exact-Jaccard threshold for verifying near-dup "
+                         "candidates before dropping them in --curate "
+                         "(default: drop all LSH candidates)")
     ap.add_argument("--hash-shuffle", action="store_true",
                     help="use the HASH_SHUFFLE strategy (enables keyed "
                          "repartition with true key co-location; default "
@@ -84,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
                 num_partitions=args.partitions,
                 concurrency="tasks",
                 min_words=args.min_words,
+                verify_dups=args.verify_dups,
             )
             print(json.dumps({"out_dir": args.out, "rows": curated.count()}))
         else:
