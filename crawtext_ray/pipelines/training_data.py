@@ -2,13 +2,17 @@
 corpus build runs on top of the extraction engine.
 
     pages ─ extract (flagship stages) ─ keep ok/relevant
-          ─ quality filter (length / stopword-ratio / mean-word-len gates)
-          ─ exact dedup (content hash, first-by-warc_ts)
-          ─ minhash-LSH near-dup drop
-          ─ articles parquet (+ per-language report)
+          ─ quality filter (vectorized length/stopword/word-len gates)
+          ─ exact dedup (key-only shuffle + loser anti-join)
+          ─ minhash-LSH near-dup drop (distributed Bloom;
+            optional exact-Jaccard verification)
+          ─ lineage-partitioned auditable articles parquet
 
-Each stage is a streaming map or a keyed groupby; nothing materializes
-the corpus. The near-dup stage exchanges only (band_key, url) rows.
+Each stage is a streaming map or a keyed groupby over KEYS (hashes,
+urls, band keys) — article text crosses an exchange only in the
+explicitly-capped fallbacks. The gated corpus is checkpointed once
+(materialize here; a parquet write at 100 TB) because both dedup stages
+make a key-gathering pass and a filtering pass over it.
 """
 
 from __future__ import annotations
