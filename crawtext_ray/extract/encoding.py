@@ -32,13 +32,16 @@ def _lookup(name: str) -> str | None:
         return None
 
 
-def detect_encoding(html: bytes) -> str:
-    """Return the codec name the cascade selects (without decoding)."""
-    if html.startswith(codecs.BOM_UTF8):
+def detect_encoding(html) -> str:
+    """Return the codec name the cascade selects (without decoding).
+    Accepts bytes or any bytes-like buffer (e.g. a zero-copy memoryview
+    over an Arrow binary column — the hot path never copies the html)."""
+    head = bytes(html[:3])
+    if head.startswith(codecs.BOM_UTF8):
         return "utf-8-sig"
-    if html.startswith(codecs.BOM_UTF16_LE):
+    if head.startswith(codecs.BOM_UTF16_LE):
         return "utf-16-le"
-    if html.startswith(codecs.BOM_UTF16_BE):
+    if head.startswith(codecs.BOM_UTF16_BE):
         return "utf-16-be"
     m = _META_CHARSET.search(html[:_HEAD_BYTES])
     if m:
@@ -46,14 +49,14 @@ def detect_encoding(html: bytes) -> str:
         if enc is not None:
             return enc
     try:
-        html.decode("utf-8", "strict")
+        codecs.decode(html, "utf-8", "strict")
         return "utf-8"
     except (UnicodeDecodeError, ValueError):
         pass
     try:
         from charset_normalizer import from_bytes
 
-        best = from_bytes(html[: 64 * 1024]).best()
+        best = from_bytes(bytes(html[: 64 * 1024])).best()
         if best is not None:
             enc = _lookup(best.encoding)
             if enc is not None:
@@ -63,13 +66,13 @@ def detect_encoding(html: bytes) -> str:
     return "iso8859-1"
 
 
-def decode_html(html: bytes) -> tuple[str, str]:
-    """bytes -> (str, codec_used). Never raises."""
+def decode_html(html) -> tuple[str, str]:
+    """bytes-like -> (str, codec_used). Never raises."""
     enc = detect_encoding(html)
     if enc in ("utf-16-le", "utf-16-be"):
         # strip the BOM explicitly; -le/-be codecs keep it as a char
         html = html[2:]
     try:
-        return html.decode(enc, "replace"), enc
+        return codecs.decode(html, enc, "replace"), enc
     except (LookupError, ValueError):  # pragma: no cover - defensive
-        return html.decode("iso8859-1", "replace"), "iso8859-1"
+        return codecs.decode(html, "iso8859-1", "replace"), "iso8859-1"

@@ -13,6 +13,7 @@ it stays Arrow.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from ..extract.adblock import AdblockRules, default_rules
@@ -46,6 +47,29 @@ ARTICLES_SCHEMA = pa.schema(
 )
 
 
+def _binary_views(col) -> list:
+    """Zero-copy per-row memoryviews over an Arrow binary column — the
+    html bytes never get copied into Python bytes objects (the decode
+    cascade accepts any buffer). Nulls yield b""."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.LargeBinaryArray):
+        off_dtype = np.int64
+    elif isinstance(arr, pa.BinaryArray):
+        off_dtype = np.int32
+    else:  # unexpected layout — fall back to the copying path
+        return arr.to_pylist()
+    n = len(arr)
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + n + 1]
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    if arr.null_count:
+        valid = np.asarray(arr.is_valid())
+        return [
+            data[offs[i]:offs[i + 1]] if valid[i] else b"" for i in range(n)
+        ]
+    return [data[offs[i]:offs[i + 1]] for i in range(n)]
+
+
 class ExtractArticles:
     """pages batch (url, warc_ts, html, lang) -> articles batch."""
 
@@ -72,7 +96,7 @@ class ExtractArticles:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
-        htmls = batch["html"].to_pylist()
+        htmls = _binary_views(batch["html"])
         langs = (
             batch["lang"].to_pylist()
             if "lang" in batch.column_names
