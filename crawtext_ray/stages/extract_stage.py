@@ -59,7 +59,11 @@ def _binary_views(col) -> list:
     else:  # unexpected layout — fall back to the copying path
         return arr.to_pylist()
     n = len(arr)
+    if n == 0:
+        return []
     bufs = arr.buffers()
+    if bufs[1] is None:
+        return arr.to_pylist()
     offs = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + n + 1]
     data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
     if arr.null_count:
