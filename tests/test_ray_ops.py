@@ -446,6 +446,29 @@ def test_sampling_native_and_deterministic(ray_session):
     assert 0 < len(a) < 500
 
 
+def test_minhash_string_ids_both_modes(ray_session):
+    """url-keyed minhash (the curation shape) must find planted dups in
+    both the broadcast and the keyed fallback mode."""
+    import ray.data as rd
+
+    from crawtext_ray.stages.dedup import minhash_lsh_duplicates
+
+    base = "the quick brown fox jumps over the lazy dog near the mat " * 4
+    rows = [{"url": f"http://x/{i}",
+             "text": f"doc {i} " + " ".join(f"t{i}x{j}" for j in range(50))}
+            for i in range(30)]
+    rows += [{"url": "http://x/dupA", "text": base},
+             {"url": "http://x/dupB", "text": base}]
+    a = minhash_lsh_duplicates(rd.from_items(rows), text_col="text",
+                               id_col="url", shingle_k=3).to_pandas()
+    b = minhash_lsh_duplicates(rd.from_items(rows), text_col="text",
+                               id_col="url", shingle_k=3,
+                               dup_bucket_broadcast_cap=0).to_pandas()
+    pa_ = sorted(map(tuple, a[["url", "rep_id"]].values.tolist()))
+    pb_ = sorted(map(tuple, b[["url", "rep_id"]].values.tolist()))
+    assert pa_ == pb_ == [("http://x/dupB", "http://x/dupA")]
+
+
 def test_build_bloom_distributed(ray_session):
     import ray.data as rd
 
