@@ -109,9 +109,18 @@ _TOKEN_HASH_CACHE: dict[str, int] = {}
 _SHINGLE_BASE = np.uint64(1_000_003)
 
 
+_TOKEN_HASH_CACHE_CAP = 4_000_000  # ~0.5 GB worst case per worker
+
+
 def _token_hash(tok: str) -> int:
     h = _TOKEN_HASH_CACHE.get(tok)
     if h is None:
+        # bound the per-worker cache: corpus vocabulary grows with corpus
+        # size, and an uncapped dict would bloat long-lived workers at
+        # 10^12-doc scale; the hash is pure, so a reset only costs
+        # recomputation (zipfian vocab keeps the hit rate high anyway)
+        if len(_TOKEN_HASH_CACHE) >= _TOKEN_HASH_CACHE_CAP:
+            _TOKEN_HASH_CACHE.clear()
         h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
         _TOKEN_HASH_CACHE[tok] = h
     return h
