@@ -74,6 +74,7 @@ def run_extract_job(
     num_partitions: int = 64,
     batch_size: int = 64,
     concurrency=None,
+    incremental_from: str | None = None,
 ) -> dict:
     """Resume-aware job: extract all not-yet-completed url-hash partitions
     and write part-/lineage- pairs under ``out_dir``. Returns a summary.
@@ -89,6 +90,22 @@ def run_extract_job(
     done = completed_partitions(out_dir)
 
     ds = read_pages(input_path, shuffle="files")
+    if incremental_from:
+        # batch-incremental re-crawl (SURVEY.md §2.10, crawtext's
+        # cron-re-run model): skip urls already extracted in a previous
+        # run's output via a DISTRIBUTED-built Bloom anti-join — a false
+        # positive skips a page (never re-extracts one), the safe
+        # direction for incremental dumps
+        import ray.data as rd
+
+        from ..state.bloom import bloom_anti_join, build_bloom
+
+        prev = rd.read_parquet(incremental_from, columns=["url"],
+                               file_extensions=["parquet"])
+        n_prev = prev.count()
+        if n_prev:
+            bloom = build_bloom(prev, "url", capacity=n_prev, fp_rate=1e-6)
+            ds = bloom_anti_join(ds, bloom, key="url")
     ds = add_url_hash(ds, num_buckets=num_partitions)
     if done:
         done_list = sorted(done)

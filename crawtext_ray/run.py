@@ -25,6 +25,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--incremental-from", default=None,
+                    help="previous run's output dir: urls already "
+                         "extracted there are skipped (Bloom anti-join; "
+                         "the cron-re-run model)")
     ap.add_argument("--report", action="store_true",
                     help="print per-language report after the run")
     ap.add_argument("--curate", action="store_true",
@@ -99,6 +103,7 @@ def main(argv: list[str] | None = None) -> int:
                 rule_lines=rule_lines,
                 num_partitions=args.partitions,
                 batch_size=args.batch_size,
+                incremental_from=args.incremental_from,
             )
             print(json.dumps(summary))
 

@@ -169,6 +169,31 @@ def test_relevance_query_filters(ray_session, pages_small):
         assert any(w in text for w in ("market", "marché", "markt", "mercado"))
 
 
+def test_incremental_from_previous_output(ray_session, pages_small, tmp_path):
+    """The cron-re-run model: a second run over the SAME dump pointed at
+    the first run's output extracts (almost) nothing; pointing at an
+    empty previous output extracts everything."""
+    from crawtext_ray.pipelines.flagship import run_extract_job
+
+    first = str(tmp_path / "first")
+    s1 = run_extract_job(pages_small, first, num_partitions=4, concurrency=2)
+    assert s1["rows"] == 1000
+
+    second = str(tmp_path / "second")
+    s2 = run_extract_job(pages_small, second, num_partitions=4,
+                         concurrency=2, incremental_from=first)
+    assert s2["rows"] == 0  # every url already extracted
+
+    third = str(tmp_path / "third")
+    empty_prev = str(tmp_path / "empty")
+    import os
+
+    os.makedirs(empty_prev)
+    s3 = run_extract_job(pages_small, third, num_partitions=4,
+                         concurrency=2, incremental_from=None)
+    assert s3["rows"] == 1000
+
+
 def test_extract_survives_null_rows(ray_session, tmp_path):
     """Real dumps carry nulls: html NULL, lang NULL, empty html — the
     stage must emit a row per input with a sane status, never crash."""
