@@ -48,6 +48,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--skip", default=None,
+                    help="comma-separated query names to skip")
     args = ap.parse_args()
 
     import ray
@@ -73,6 +75,9 @@ def main() -> int:
     failures = 0
     for name, fn in qs.items():
         if args.only and name != args.only:
+            continue
+        if args.skip and name in args.skip.split(","):
+            print(f"skip  {name}")
             continue
         t0 = time.time()
         try:
