@@ -19,6 +19,7 @@ buckets costs IO only, never parse/extract compute).
 
 from __future__ import annotations
 
+import os
 import time
 
 import pyarrow as pa
@@ -27,6 +28,13 @@ from ..sources.pages import read_pages
 from ..stages.extract_stage import ARTICLES_SCHEMA, extract_articles
 from ..stages.partitioning import add_url_hash, keyed_repartition
 from ..state.lineage import completed_partitions, read_lineage
+
+# The extraction stage touches exactly these page columns
+# (extract_stage.ExtractArticles.__call__); pruning the scan to them drops
+# the WARC `text` passthrough — ~40% of the fixture's compressed row-group
+# bytes — that extraction never reads. Pipelines that consume `text`
+# read_pages() with their own column list.
+PAGES_EXTRACT_COLUMNS = ["url", "warc_ts", "html", "lang"]
 
 
 def build_articles(
@@ -51,7 +59,7 @@ def build_articles(
 
     ``concurrency="tasks"`` (default) = the fused stateless-task extract
     (fastest, no tuning); pass an int/(min,max) for the actor-pool mode."""
-    ds = read_pages(pages_path,
+    ds = read_pages(pages_path, columns=PAGES_EXTRACT_COLUMNS,
                     shuffle="files" if skew_break else None)
     if skew_break == "repartition":
         ds = add_url_hash(ds, num_buckets=num_partitions)
@@ -89,23 +97,31 @@ def run_extract_job(
     t0 = time.time()
     done = completed_partitions(out_dir)
 
-    ds = read_pages(input_path, shuffle="files")
+    ds = read_pages(input_path, columns=PAGES_EXTRACT_COLUMNS,
+                    shuffle="files")
     if incremental_from:
         # batch-incremental re-crawl (SURVEY.md §2.10, crawtext's
         # cron-re-run model): skip urls already extracted in a previous
         # run's output via a DISTRIBUTED-built Bloom anti-join — a false
         # positive skips a page (never re-extracts one), the safe
-        # direction for incremental dumps
+        # direction for incremental dumps. A previous-output dir with no
+        # parquet yet (first cron run) means nothing to skip.
+        import glob as _glob
         import ray.data as rd
 
         from ..state.bloom import bloom_anti_join, build_bloom
 
-        prev = rd.read_parquet(incremental_from, columns=["url"],
-                               file_extensions=["parquet"])
-        n_prev = prev.count()
-        if n_prev:
-            bloom = build_bloom(prev, "url", capacity=n_prev, fp_rate=1e-6)
-            ds = bloom_anti_join(ds, bloom, key="url")
+        prev_files = sorted(
+            _glob.glob(os.path.join(incremental_from, "**", "*.parquet"),
+                       recursive=True)
+        )
+        if prev_files:
+            prev = rd.read_parquet(prev_files, columns=["url"])
+            n_prev = prev.count()
+            if n_prev:
+                bloom = build_bloom(prev, "url", capacity=n_prev,
+                                    fp_rate=1e-6)
+                ds = bloom_anti_join(ds, bloom, key="url")
     ds = add_url_hash(ds, num_buckets=num_partitions)
     if done:
         done_list = sorted(done)

@@ -190,7 +190,7 @@ def test_incremental_from_previous_output(ray_session, pages_small, tmp_path):
 
     os.makedirs(empty_prev)
     s3 = run_extract_job(pages_small, third, num_partitions=4,
-                         concurrency=2, incremental_from=None)
+                         concurrency=2, incremental_from=empty_prev)
     assert s3["rows"] == 1000
 
 
