@@ -41,12 +41,15 @@ def quality_gate_mask(texts_col, langs_col, n_words_col,
     low = pc.utf8_lower(texts_col)
     toks = pc.split_pattern_regex(low, pattern=r"\s+")
     arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
-    widths = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
-    vals = arr.flatten()
+    # list_parent_indices/list_flatten skip NULL list slots consistently
+    # (an offsets-diff np.repeat would count a null slot's offset range
+    # and misalign every following row); a null text row simply
+    # contributes no tokens and fails the n_toks > 0 gate below
+    vals = pc.list_flatten(arr)
+    row_idx = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
     # split_pattern_regex keeps boundary empties that .split() drops
     lens = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
     nonempty = lens > 0
-    row_idx = np.repeat(np.arange(n), widths)
     n_toks = np.bincount(row_idx[nonempty], minlength=n)
     sum_len = np.bincount(row_idx, weights=lens, minlength=n)
     stripped = pc.utf8_trim(vals, characters=".,;:!?")
@@ -114,13 +117,35 @@ def drop_exact_dups(articles, loser_broadcast_cap: int = 5_000_000):
     carries.) Assumes url is unique per input row (the pages contract)."""
     import pyarrow.compute as pc
 
+    def row_key(t: pa.Table):
+        """Composite (url, warc_ts) row-identity key as one string column
+        — url can't contain \\x00, so the join is collision-free — for
+        vectorized ``pc.is_in`` anti-join probes."""
+        return pc.binary_join_element_wise(
+            pc.cast(t["url"], pa.string()),
+            pc.cast(pc.cast(t["warc_ts"], pa.int64()), pa.string()),
+            "\x00",
+        )
+
     keys = articles.select_columns(["content_sha256", "url", "warc_ts"])
 
     def losers_of(g: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
             g, sort_keys=[("warc_ts", "ascending"), ("url", "ascending")]
         )
-        return g.take(idx[1:]).select(["url", "warc_ts"])  # all but the winner
+        g = g.take(idx)
+        if g.num_rows > 1 and pc.count_distinct(
+            row_key(g)
+        ).as_py() != g.num_rows:
+            # two rows sharing (url, warc_ts) identity would make the
+            # anti-join drop the winner along with the loser — fail loud
+            # on contract-violating input instead of silently losing rows
+            raise ValueError(
+                "drop_exact_dups: duplicate (url, warc_ts) row identity "
+                f"inside a content group (url={g['url'][0].as_py()!r}); "
+                "the pages contract requires it to be unique"
+            )
+        return g.slice(1).select(["url", "warc_ts"])  # all but the winner
 
     losers = keys.groupby("content_sha256").map_groups(
         losers_of, batch_format="pyarrow"
@@ -134,22 +159,24 @@ def drop_exact_dups(articles, loser_broadcast_cap: int = 5_000_000):
         # row identity is (url, warc_ts), NOT url alone: a recrawl of the
         # same url dedupes into the same hash group, so the loser's url
         # can equal the winner's url
-        loser_keys = frozenset(
-            (r["url"], r["warc_ts"]) for r in losers.iter_rows()
+        chunks = []
+        for b in losers.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                chunks.append(row_key(b).combine_chunks())
+        value_set = (
+            pa.concat_arrays(chunks) if chunks else pa.array([], pa.string())
         )
-        ref = ray.put(loser_keys)
+        ref = ray.put(value_set)
 
         class DropLosers:
             def __init__(self):
-                self.losers = ray.get(ref)
+                self.value_set = ray.get(ref)
 
             def __call__(self, batch: pa.Table) -> pa.Table:
-                mask = [
-                    (u, t) not in self.losers
-                    for u, t in zip(batch["url"].to_pylist(),
-                                    batch["warc_ts"].to_pylist())
-                ]
-                return batch.filter(pa.array(mask, pa.bool_()))
+                comp = pc.fill_null(row_key(batch), "")
+                return batch.filter(
+                    pc.invert(pc.is_in(comp, value_set=self.value_set))
+                )
 
         from ..stages.fusion import map_stage
 

@@ -342,18 +342,31 @@ def banded_lsh_pairs(banded, bands: int, id_col: str,
     ).materialize()
 
     if dup_buckets.count() <= dup_bucket_broadcast_cap:
-        # sorted-key arrays for vectorized searchsorted lookups
-        bks, reps = [], []
-        for r in dup_buckets.iter_rows():
-            bks.append(r["bk"])
-            reps.append(r["rep_id"])
-        order = np.argsort(np.asarray(bks, dtype=np.int64), kind="stable")
-        ref = ray.put(
-            (
-                np.asarray(bks, dtype=np.int64)[order],
-                np.asarray(reps, dtype=object)[order],
-            )
+        # sorted-key arrays for vectorized searchsorted lookups; collect
+        # per BATCH (a per-row iter_rows loop at the 5M cap measured as
+        # the driver hot spot)
+        bk_chunks, rep_chunks = [], []
+        for b in dup_buckets.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                bk_chunks.append(
+                    b["bk"].to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+                rep_col = b["rep_id"]
+                rep_chunks.append(
+                    rep_col.to_numpy(zero_copy_only=False)
+                    if pa.types.is_integer(rep_col.type)
+                    else np.asarray(rep_col.to_pylist(), dtype=object)
+                )
+        bks = (
+            np.concatenate(bk_chunks) if bk_chunks else np.empty(0, np.int64)
         )
+        reps = (
+            np.concatenate(rep_chunks)
+            if rep_chunks
+            else np.empty(0, dtype=object)
+        )
+        order = np.argsort(bks, kind="stable")
+        ref = ray.put((bks[order], reps[order]))
 
         class EmitPairs:
             def __init__(self):

@@ -57,14 +57,16 @@ def outlinks_frontier(articles, depth: int):
     already applied by the extractor; returns (url, depth, parent_url).
     Arrow list-flatten — no Python loop over links."""
     import numpy as np
+    import pyarrow.compute as pc
 
     def explode(batch: pa.Table) -> pa.Table:
         links = batch["outlinks"].combine_chunks()
-        flat = links.flatten()  # respects slicing/nulls
-        offs = links.offsets.to_numpy(zero_copy_only=False)
-        widths = np.diff(offs)
+        # list_flatten + list_parent_indices stay aligned across NULL
+        # list slots (an offsets diff would count a null slot's offset
+        # range while flatten() skips its values)
+        flat = pc.list_flatten(links)
         parents = batch["url"].combine_chunks().take(
-            pa.array(np.repeat(np.arange(len(links), dtype=np.int64), widths))
+            pc.list_parent_indices(links)
         )
         return pa.table(
             {
@@ -127,11 +129,15 @@ def bfs_crawl(pages_ds, seed_urls: list[str], max_depth: int = 2,
 
             class InFrontier:
                 def __init__(self):
-                    self.f = ray.get(fset)
+                    import pyarrow.compute as pc
+
+                    self.pc = pc
+                    self.value_set = pa.array(sorted(ray.get(fset)))
 
                 def __call__(self, batch: pa.Table) -> pa.Table:
-                    mask = [u in self.f for u in batch["url"].to_pylist()]
-                    return batch.filter(pa.array(mask, pa.bool_()))
+                    return batch.filter(
+                        self.pc.is_in(batch["url"], value_set=self.value_set)
+                    )
 
             subset = map_stage(pages_ds, InFrontier)
         else:

@@ -17,16 +17,18 @@ import pyarrow as pa
 
 
 def _hash_urls(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """Bucket = first 8 big-endian sha1 bytes mod num_buckets. The sha1
+    per url is the irreducible Python; digests land in ONE buffer decoded
+    by a single frombuffer and the mod runs vectorized (bit-identical to
+    the per-url int.from_bytes form — resume partition ids are stable)."""
     urls = batch["url"].to_pylist()
-    buckets = np.fromiter(
-        (
-            int.from_bytes(hashlib.sha1((u or "").encode("utf-8")).digest()[:8], "big")
-            % num_buckets
-            for u in urls
-        ),
-        dtype=np.int64,
-        count=len(urls),
+    if not urls:
+        return batch.append_column("url_hash", pa.array([], pa.int64()))
+    buf = b"".join(
+        hashlib.sha1((u or "").encode("utf-8")).digest()[:8] for u in urls
     )
+    vals = np.frombuffer(buf, dtype=">u8").astype(np.uint64)
+    buckets = (vals % np.uint64(num_buckets)).astype(np.int64)
     return batch.append_column("url_hash", pa.array(buckets, pa.int64()))
 
 

@@ -128,11 +128,12 @@ def quality_ints_docs(sf_dir: str):
         low = pc.utf8_lower(col)
         toks = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
         arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
-        widths = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
-        hits = pc.is_in(arr.flatten(), value_set=sw_arr).to_numpy(
+        # null-slot-safe flatten/parent-index pairing (ADVICE r2: an
+        # offsets diff counts a null slot's range while flatten skips it)
+        hits = pc.is_in(pc.list_flatten(arr), value_set=sw_arr).to_numpy(
             zero_copy_only=False
         )
-        row_idx = np.repeat(np.arange(len(arr)), widths)
+        row_idx = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
         n_stop = np.bincount(
             row_idx, weights=hits, minlength=len(arr)
         ).astype(np.int64)

@@ -38,24 +38,37 @@ class TextFeatures:
             if self.lang_col and self.lang_col in batch.column_names
             else ["en"] * len(texts)
         )
-        rows = []
-        for i, t, l in zip(ids, texts, langs):
+        # columnar accumulation: the per-doc kernels (language_id,
+        # fingerprint) are legitimately Python, but assembly goes one
+        # list per COLUMN → typed arrays (from_pylist's per-row dicts
+        # measured slower in the arrow conversion; cf. extract_stage)
+        n_chars, n_words, n_tokens = [], [], []
+        mean_wl, punct_r, stop_r = [], [], []
+        pred_lang, fingerprint = [], []
+        for t, l in zip(texts, langs):
             t = t or ""
             q = quality_features(t, l if l in ("en", "fr", "de", "es") else "en")
-            rows.append(
-                {
-                    self.id_col: i,
-                    "n_chars_calc": q["n_chars"],
-                    "n_words": q["n_words"],
-                    "n_tokens": token_count(t),
-                    "mean_word_len": q["mean_word_len"],
-                    "punct_ratio": q["punct_ratio"],
-                    "stop_ratio": q["stop_ratio"],
-                    "pred_lang": language_id(t),
-                    "fingerprint": rolling_fingerprint(t),
-                }
-            )
-        return pa.Table.from_pylist(rows)
+            n_chars.append(q["n_chars"])
+            n_words.append(q["n_words"])
+            n_tokens.append(token_count(t))
+            mean_wl.append(q["mean_word_len"])
+            punct_r.append(q["punct_ratio"])
+            stop_r.append(q["stop_ratio"])
+            pred_lang.append(language_id(t))
+            fingerprint.append(rolling_fingerprint(t))
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, pa.int64()),
+                "n_chars_calc": pa.array(n_chars, pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "mean_word_len": pa.array(mean_wl, pa.float64()),
+                "punct_ratio": pa.array(punct_r, pa.float64()),
+                "stop_ratio": pa.array(stop_r, pa.float64()),
+                "pred_lang": pa.array(pred_lang, pa.string()),
+                "fingerprint": pa.array(fingerprint, pa.int64()),
+            }
+        )
 
 
 def text_features(ds, text_col: str = "text", id_col: str = "doc_id",

@@ -46,12 +46,34 @@ class BloomFilter:
         d = hashlib.md5(key.encode("utf-8")).digest()
         return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big")
 
+    @staticmethod
+    def _h2_batch(keys) -> tuple[np.ndarray, np.ndarray]:
+        """(h1, h2) uint64 arrays for a whole batch: one md5 per key into
+        a single buffer, decoded with one frombuffer — the md5 itself is
+        the only per-key Python left."""
+        buf = b"".join(
+            hashlib.md5((k or "").encode("utf-8")).digest() for k in keys
+        )
+        d = np.frombuffer(buf, dtype=">u8").reshape(-1, 2)
+        return d[:, 0].astype(np.uint64), d[:, 1].astype(np.uint64)
+
     def _positions(self, key: str) -> np.ndarray:
         h1, h2 = self._h2(key)
         h2 |= 1  # odd stride → full cycle modulo the power-of-two bit count
         i = np.arange(self.n_hashes, dtype=np.uint64)
         with np.errstate(over="ignore"):
             return (np.uint64(h1) + i * np.uint64(h2)) % np.uint64(self.n_bits)
+
+    def _positions_batch(self, keys) -> np.ndarray:
+        """(n_keys, n_hashes) positions — identical values to per-key
+        ``_positions`` (same uint64 wraparound arithmetic), one pass."""
+        h1, h2 = self._h2_batch(keys)
+        h2 = h2 | np.uint64(1)
+        i = np.arange(self.n_hashes, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(
+                self.n_bits
+            )
 
     def add(self, key: str) -> None:
         pos = self._positions(key)
@@ -62,13 +84,32 @@ class BloomFilter:
         )
 
     def update(self, keys) -> None:
-        for k in keys:
-            self.add(k)
+        """Batched add: one vectorized position pass for the whole key
+        sequence (the per-key loop was the hot path in the distributed
+        build at 10^8-url scale)."""
+        keys = list(keys)
+        if not keys:
+            return
+        pos = self._positions_batch(keys).ravel()
+        np.bitwise_or.at(
+            self.bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63))
+        )
 
     def __contains__(self, key: str) -> bool:
         pos = self._positions(key)
         want = np.uint64(1) << (pos & np.uint64(63))
         return bool(np.all(self.bits[pos >> np.uint64(6)] & want == want))
+
+    def contains_batch(self, keys) -> np.ndarray:
+        """Vectorized membership: bool array, one row per key — replaces
+        the per-row ``k in bloom`` probe on the anti-join hot path."""
+        keys = list(keys)
+        if not keys:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions_batch(keys)
+        want = np.uint64(1) << (pos & np.uint64(63))
+        got = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+        return ((got & want) == want).all(axis=1)
 
 
 def build_bloom(ds, key: str, capacity: int, fp_rate: float = 0.001) -> BloomFilter:
@@ -83,8 +124,7 @@ def build_bloom(ds, key: str, capacity: int, fp_rate: float = 0.001) -> BloomFil
 
     def block_bits(batch: pa.Table) -> pa.Table:
         bf = BloomFilter.with_params(n_bits, n_hashes)
-        for k in batch[key].to_pylist():
-            bf.add(k)
+        bf.update(batch[key].to_pylist())
         return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.large_binary())})
 
     parts = ds.select_columns([key]).map_batches(
@@ -109,8 +149,8 @@ def bloom_anti_join(ds, bloom: "BloomFilter | object", key: str = "url"):
             self.bloom = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = [k not in self.bloom for k in batch[key].to_pylist()]
-            return batch.filter(pa.array(mask, pa.bool_()))
+            seen = self.bloom.contains_batch(batch[key].to_pylist())
+            return batch.filter(pa.array(~seen, pa.bool_()))
 
     from ..stages.fusion import map_stage
 

@@ -66,6 +66,29 @@ def test_bloom_filter_properties():
     assert fp < 50  # ~0.1% target; generous bound
 
 
+def test_bloom_batch_paths_match_scalar():
+    """The vectorized add/probe paths (update / contains_batch) must be
+    bit-identical to the scalar add / __contains__ forms — same md5
+    double-hash positions, same filter bits."""
+    import numpy as np
+
+    from crawtext_ray.state.bloom import BloomFilter
+
+    keys = [f"http://h{i}.example/p{i}" for i in range(500)]
+    scalar = BloomFilter(capacity=1000, fp_rate=0.01)
+    for k in keys:
+        scalar.add(k)
+    batched = BloomFilter(capacity=1000, fp_rate=0.01)
+    batched.update(keys)
+    assert np.array_equal(scalar.bits, batched.bits)
+
+    probes = keys[::7] + [f"http://miss{i}.example/" for i in range(200)]
+    got = batched.contains_batch(probes)
+    want = np.array([k in scalar for k in probes])
+    assert np.array_equal(got, want)
+    assert batched.contains_batch([]).shape == (0,)
+
+
 def test_export_report(tmp_path):
     import json
 
