@@ -264,10 +264,21 @@ def curate(
     )
     # checkpoint between the extract phase and the dedup phase: both dedup
     # stages make a key-gathering pass AND a filtering pass over the gated
-    # corpus — materializing here means those passes iterate object-store
-    # blocks (spilling as needed) instead of re-running extraction per pass.
-    # At 100 TB the equivalent checkpoint is a parquet write + re-read.
-    gated = quality_gate(ok, min_words=min_words).materialize()
+    # corpus, so it must not re-run extraction per pass. With an out_dir
+    # the checkpoint is a PARQUET write + re-read next to the output (the
+    # 100 TB form — an unconditional materialize would spill the whole
+    # gated corpus through the object store); without one (interactive /
+    # small runs) it stays an object-store materialize.
+    gate = quality_gate(ok, min_words=min_words)
+    ckpt_dir = None
+    if out_dir:
+        import ray.data as rd
+
+        ckpt_dir = out_dir.rstrip("/") + "_gated.ckpt"
+        gate.write_parquet(ckpt_dir)
+        gated = rd.read_parquet(ckpt_dir, file_extensions=["parquet"])
+    else:
+        gated = gate.materialize()
     deduped = drop_exact_dups(gated)
     curated = drop_near_dups(deduped, verify_threshold=verify_dups)
     if out_dir:
@@ -277,6 +288,10 @@ def curate(
         # curation dedup is GLOBAL, so lineage here gives atomic
         # completion + integrity auditing, not partial-rerun reuse — a
         # rerun recomputes the whole chain (winners can change).
+        import shutil
+
+        import ray.data as rd
+
         from ..stages.partitioning import add_url_hash
         from ..state.lineage import write_partitioned
 
@@ -288,4 +303,10 @@ def curate(
             batch_format="pyarrow", zero_copy_batch=True,
         )
         write_partitioned(keyed, out_dir).take_all()
+        # the gated checkpoint served its purpose once the audited sink
+        # is complete; the returned Dataset re-reads the SINK (stable),
+        # so the checkpoint can go (at 100 TB you might keep it for
+        # debugging — it is a plain parquet dir next to the output)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        return rd.read_parquet(out_dir, file_extensions=["parquet"])
     return curated

@@ -684,20 +684,93 @@ def verify_pairs_jaccard(ds_pairs, docs_lookup, text_col: str = "text",
     return map_stage(ds_pairs, Verify)
 
 
+def semi_join_on_ids(ds, ids_ds, ds_col: str, ids_col: str,
+                     broadcast_cap: int = 2_000_000):
+    """Keep rows of ``ds`` whose ``ds_col`` value appears in
+    ``ids_ds[ids_col]`` — the candidate-bounding semi-join. Two modes by
+    |ids|: a broadcast value-set + ``pc.is_in`` under ``broadcast_cap``
+    (exact), a distributed-built Bloom above it (no false negatives, so
+    every needed row survives; a false positive keeps an extra row —
+    a SUPERSET semi-join, which is the safe direction for bounding a
+    verification corpus)."""
+    import pyarrow.compute as pc
+
+    from .fusion import map_stage
+
+    n_ids = ids_ds.count()
+    if n_ids == 0:
+        return ds.map_batches(lambda t: t.slice(0, 0),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    if n_ids <= broadcast_cap:
+        import ray
+
+        chunks = []
+        for b in ids_ds.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                chunks.append(b[ids_col].combine_chunks())
+        value_set = pc.unique(pa.concat_arrays(chunks))
+        ref = ray.put(value_set)
+
+        class Keep:
+            def __init__(self):
+                self.value_set = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                return t.filter(
+                    pc.is_in(t[ds_col], value_set=self.value_set)
+                )
+
+        return map_stage(ds, Keep)
+
+    # 10^12-row path: Bloom over stringified ids, built distributed
+    import ray
+
+    from ..state.bloom import build_bloom
+
+    strs = ids_ds.map_batches(
+        lambda t: pa.table({"k": pc.cast(t[ids_col], pa.string())}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    bloom = build_bloom(strs, "k", capacity=n_ids, fp_rate=1e-4)
+    ref = ray.put(bloom)
+
+    class KeepBloom:
+        def __init__(self):
+            self.bloom = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = pc.cast(t[ds_col], pa.string()).to_pylist()
+            return t.filter(
+                pa.array(self.bloom.contains_batch(keys), pa.bool_())
+            )
+
+    return map_stage(ds, KeepBloom)
+
+
 def verify_pairs_jaccard_distributed(ds_pairs, ds_docs, text_col: str = "text",
                                      id_col: str = "doc_id", k: int = 5,
-                                     threshold: float = 0.8):
+                                     threshold: float = 0.8,
+                                     participant_broadcast_cap: int = 2_000_000):
     """Broadcast-free candidate verification — the 100 TB form of
     ``verify_pairs_jaccard``: texts are ROUTED to their pairs through two
     keyed exchanges instead of shipping an {id: text} dict to every
     worker.
 
+    The corpus is candidate-bounded FIRST: only pair participants are
+    ever scored, so ``ds_docs`` is semi-joined down to the left-id set
+    (exchange 1) and the rep-id set (exchange 2) before any shingling —
+    both exchanges carry O(candidate shingles), not O(corpus shingles)
+    (post-LSH candidates are a small constant fraction of the corpus).
+
     Exchange 1 groups pair rows with doc rows on the pair's left id and
     attaches the left shingle set (as a uint64 array column — text never
     leaves its first groupby); exchange 2 does the same on rep_id and
-    computes the exact n-gram Jaccard in-group. Each exchange carries one
-    row per pair plus one row per doc with its shingle array: O(corpus
-    shingles), hash-partitioned, nothing driver- or worker-resident."""
+    computes the exact n-gram Jaccard in-group. Hash-partitioned, nothing
+    driver- or worker-resident beyond the participant value-set/Bloom."""
+    docs_left = semi_join_on_ids(ds_docs, ds_pairs, id_col, id_col,
+                                 participant_broadcast_cap)
+    docs_right = semi_join_on_ids(ds_docs, ds_pairs, id_col, "rep_id",
+                                  participant_broadcast_cap)
 
     def doc_rows(t: pa.Table) -> pa.Table:
         sh = [_shingle_array(x or "", k) for x in t[text_col].to_pylist()]
@@ -716,8 +789,8 @@ def verify_pairs_jaccard_distributed(ds_pairs, ds_docs, text_col: str = "text",
             "sh_left": pa.nulls(t.num_rows, pa.list_(pa.uint64())),
         })
 
-    docs1 = ds_docs.map_batches(doc_rows, batch_format="pyarrow",
-                                zero_copy_batch=True)
+    docs1 = docs_left.map_batches(doc_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True)
     pairs1 = ds_pairs.map_batches(pair_rows, batch_format="pyarrow",
                                   zero_copy_batch=True)
 
@@ -756,8 +829,8 @@ def verify_pairs_jaccard_distributed(ds_pairs, ds_docs, text_col: str = "text",
             "sh_left": pa.nulls(t.num_rows, pa.list_(pa.uint64())),
         })
 
-    docs2 = ds_docs.map_batches(docs_for_right, batch_format="pyarrow",
-                                zero_copy_batch=True)
+    docs2 = docs_right.map_batches(docs_for_right, batch_format="pyarrow",
+                                   zero_copy_batch=True)
 
     def score(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

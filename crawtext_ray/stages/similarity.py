@@ -231,9 +231,18 @@ def lsh_bucket_topk(ds, queries: dict, dim: int, k: int = 10,
 def embedding_dedup(ds, dim: int, threshold: float = 0.97,
                     n_planes: int | None = None, target_bucket: int = 8192,
                     seed: int = 11, id_col: str = "vec_id",
-                    vec_col: str = "embedding", chunk_rows: int = 1024):
+                    vec_col: str = "embedding", chunk_rows: int = 1024,
+                    canonical: bool = False):
     """Embedding-cosine near-dup: LSH-bucket vectors, then inside each
     bucket link each id to the smallest similar-enough smaller id.
+
+    ``canonical=False`` (default) returns the raw PER-PAIR links
+    (id → smallest similar smaller id in its bucket, with the cosine):
+    on a chain a≈b, b≈c with a̸≈c, c links to b, not a. Pass
+    ``canonical=True`` to pipe the pairs through
+    ``dedup.connected_components`` — every non-representative id then
+    maps to the min id of its transitive cluster (columns (id, rep_id),
+    no cosine: a transitive rep has no single pair score).
 
     Scale handling (the O(b²) bucket matmul is the hazard):
     - ``n_planes`` derives from the corpus size when not given —
@@ -280,7 +289,25 @@ def embedding_dedup(ds, dim: int, threshold: float = 0.97,
                 }))
         return pd.concat(out, ignore_index=True) if out else empty
 
-    return bucketed.groupby("lsh_bucket").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = bucketed.groupby("lsh_bucket").map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    if not canonical:
+        return pairs
+    from .dedup import connected_components
+
+    comp = connected_components(pairs, id_col=id_col, rep_col="rep_id")
+
+    def to_rep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # drop the representatives themselves (cluster_id == id): the
+        # output lists only the rows a dedup pass would remove
+        keep = t.filter(pc.not_equal(t[id_col], t["cluster_id"]))
+        return pa.table({id_col: keep[id_col], "rep_id": keep["cluster_id"]})
+
+    return comp.map_batches(to_rep, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 # ------------------------------------------------------------- IVF ----
