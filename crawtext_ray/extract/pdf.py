@@ -28,6 +28,14 @@ import zlib
 
 _OBJ_RE = re.compile(rb"\d+\s+\d+\s+obj(.*?)endobj", re.DOTALL)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+# /Length-annotated stream head: the payload is EXACTLY Length bytes, so
+# compressed data that happens to contain "endstream"/"endobj" cannot
+# truncate the scan (a real 1-in-hundreds failure of the delimiter-based
+# object regex on Flate output). Flat dicts only — nested-dict heads
+# fall back to the delimiter scan.
+_LEN_STREAM_RE = re.compile(
+    rb"<<(?P<dict>[^<>]*?/Length\s+(?P<len>\d+)[^<>]*?)>>\s*stream\r?\n"
+)
 _BT_ET_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 # (string) Tj | (string) ' | [array] TJ  + text-line operators
 _SHOW_RE = re.compile(
@@ -131,27 +139,37 @@ def extract_pdf_text(data: bytes) -> dict:
         return {"text": "", "n_pages": 0, "status": "not_pdf"}
     n_pages = len(re.findall(rb"/Type\s*/Page[^s]", data))
     texts: list[str] = []
-    for obj in _OBJ_RE.finditer(data):
-        body = obj.group(1)
-        sm = _STREAM_RE.search(body)
-        if not sm:
-            continue
-        raw = sm.group(1)
-        if b"/FlateDecode" in body:
+
+    def try_stream(head: bytes, raw: bytes) -> None:
+        if b"/FlateDecode" in head:
             try:
                 raw = zlib.decompress(raw)
             except zlib.error:
-                continue
-        elif b"/Filter" in body:
-            continue  # unsupported filter
+                return
+        elif b"/Filter" in head:
+            return  # unsupported filter
         if b"BT" not in raw:
-            continue
+            return
         try:
             t = _content_text(raw)
         except Exception:
-            continue  # malformed content stream — skip it, keep "never raises"
+            return  # malformed content stream — skip it, keep "never raises"
         if t:
             texts.append(t)
+
+    # primary pass: /Length-bounded streams (robust to delimiter bytes
+    # inside compressed payloads)
+    for sm in _LEN_STREAM_RE.finditer(data):
+        n = int(sm.group("len"))
+        try_stream(sm.group("dict"), data[sm.end() : sm.end() + n])
+    if not texts:
+        # fallback: delimiter-based object scan (PDFs with indirect or
+        # nested-dict /Length entries)
+        for obj in _OBJ_RE.finditer(data):
+            body = obj.group(1)
+            sm2 = _STREAM_RE.search(body)
+            if sm2:
+                try_stream(body, sm2.group(1))
     text = "\n\n".join(texts)
     status = "ok" if text else ("unsupported" if n_pages else "empty")
     return {"text": text, "n_pages": max(n_pages, 1 if text else 0),

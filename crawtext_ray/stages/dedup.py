@@ -447,6 +447,122 @@ def banded_lsh_pairs(banded, bands: int, id_col: str,
     return pairs.groupby(id_col).aggregate(Min("rep_id", alias_name="rep_id"))
 
 
+def banded_lsh_candidate_pairs(banded, bands: int, id_col: str,
+                               dup_bucket_broadcast_cap: int = 5_000_000):
+    """ALL distinct candidate pairs (a < b) sharing at least one LSH band
+    bucket, as (``{id}_a``, ``{id}_b``) rows. Complements
+    ``banded_lsh_pairs`` (the min-rep LINKING form used by dedup drops):
+    pair enumeration is what exact verification consumes, where every
+    candidate pair must be scored individually. O(bucket²) per duplicate
+    bucket — post-LSH dup buckets are the same cardinality class as the
+    output itself. Membership rows are candidate-bounded to duplicate
+    buckets first (broadcast is_in under the cap, Bloom above)."""
+    from ray.data.aggregate import Count
+
+    a_col, b_col = f"{id_col}_a", f"{id_col}_b"
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        flat = t["band_keys"].combine_chunks().flatten()
+        ids = t[id_col].combine_chunks().take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+        )
+        return pa.table({id_col: ids, "bk": flat})
+
+    exploded = banded.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = exploded.groupby("bk").aggregate(Count(alias_name="n"))
+    dup_bks = agg.map_batches(
+        lambda t: t.filter(
+            pa.compute.greater_equal(t["n"], pa.scalar(2))
+        ).select(["bk"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    members = semi_join_on_ids(exploded, dup_bks, "bk", "bk",
+                               dup_bucket_broadcast_cap)
+
+    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({a_col: ids[:0], b_col: ids[:0]})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({a_col: ids[ia], b_col: ids[ib]})
+
+    pairs = members.groupby("bk").map_groups(pairs_of, batch_format="pandas")
+    # a pair can collide in several bands/buckets — keyed distinct
+    return pairs.groupby([a_col, b_col]).aggregate(
+        Count(alias_name="_n")
+    ).map_batches(
+        lambda t: t.select([a_col, b_col]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def minhash_verified_duplicates(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+):
+    """MinHash-LSH candidate pairs verified by EXACT n-gram Jaccard —
+    deterministic output (doc_id_a < doc_id_b, jaccard ≥ threshold),
+    SQL-oracle-checkable against the brute cross join whenever LSH
+    recall is total (pairs far above the threshold, the planted-dup
+    regime; band count picks the recall). The scale shape: vectorized
+    signatures → one hash aggregate → candidate-bounded pair
+    enumeration → routed exact verification (no broadcast of texts)."""
+    from .fusion import map_stage
+
+    banded = map_stage(
+        ds,
+        lambda: _MinHashBands(num_perm=num_perm, bands=bands,
+                              shingle_k=shingle_k, text_col=text_col,
+                              id_col=id_col),
+    ).materialize()
+    cands = banded_lsh_candidate_pairs(banded, bands, id_col)
+    return _verify_candidates(cands, ds, text_col, id_col, shingle_k,
+                              threshold)
+
+
+def _verify_candidates(cands, ds_docs, text_col: str, id_col: str,
+                       k: int, threshold: float):
+    """(a, b) candidate pairs → exact-Jaccard-verified
+    (``{id}_a``, ``{id}_b``, jaccard) rows via the routed verifier."""
+    a_col, b_col = f"{id_col}_a", f"{id_col}_b"
+
+    import ray.data as rd
+
+    empty = pa.table({
+        a_col: pa.array([], pa.int64()),
+        b_col: pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    })
+    oriented = cands.map_batches(
+        lambda t: pa.table({id_col: t[b_col], "rep_id": t[a_col]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    if oriented.count() == 0:
+        return rd.from_arrow(empty)
+    verified = verify_pairs_jaccard_distributed(
+        oriented, ds_docs, text_col=text_col, id_col=id_col, k=k,
+        threshold=threshold,
+    )
+    # output is O(verified pairs) — materializing it is cheap and lets the
+    # all-filtered-out case keep a typed schema (a schemaless empty
+    # Dataset would to_pandas() into a column-less frame downstream)
+    out = verified.map_batches(
+        lambda t: pa.table({
+            a_col: t["rep_id"], b_col: t[id_col], "jaccard": t["jaccard"],
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    return rd.from_arrow(empty) if out.count() == 0 else out
+
+
 # ------------------------------------------------------------ simhash ----
 
 
@@ -533,12 +649,11 @@ def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
     return map_stage(ds, lambda: _SimHash(text_col, id_col))
 
 
-def simhash_duplicates(ds, text_col: str = "text", id_col: str = "doc_id",
-                       dup_bucket_broadcast_cap: int = 5_000_000):
-    """Near-dup candidates: docs sharing any of the four 16-bit simhash
-    bands (classic Charikar banding) → (id, rep_id) pairs, via the shared
-    banded-LSH machinery (the band index is folded into the bucket key
-    as the top bits, so buckets never merge across bands)."""
+def _simhash_banded(ds, text_col: str, id_col: str):
+    """(id, band_keys fixed_size_list<int64, 4>) from 16-bit simhash
+    quarters (classic Charikar banding); the band index is folded into
+    the bucket key as the top bits, so buckets never merge across
+    bands. Shared by the linking and the pair-enumeration forms."""
     sigs = simhash_signatures(ds, text_col, id_col)
 
     def to_band_keys(batch: pa.Table) -> pa.Table:
@@ -559,10 +674,29 @@ def simhash_duplicates(ds, text_col: str = "text", id_col: str = "doc_id",
             ),
         })
 
-    banded = sigs.map_batches(
+    return sigs.map_batches(
         to_band_keys, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+
+
+def simhash_duplicates(ds, text_col: str = "text", id_col: str = "doc_id",
+                       dup_bucket_broadcast_cap: int = 5_000_000):
+    """Near-dup candidates: docs sharing any of the four 16-bit simhash
+    bands → (id, rep_id) pairs, via the shared banded-LSH machinery."""
+    banded = _simhash_banded(ds, text_col, id_col)
     return banded_lsh_pairs(banded, 4, id_col, dup_bucket_broadcast_cap)
+
+
+def simhash_verified_duplicates(ds, text_col: str = "text",
+                                id_col: str = "doc_id", shingle_k: int = 3,
+                                threshold: float = 0.8):
+    """SimHash band candidates verified by EXACT n-gram Jaccard — the
+    simhash counterpart of ``minhash_verified_duplicates`` (same
+    deterministic, oracle-checkable output contract)."""
+    banded = _simhash_banded(ds, text_col, id_col)
+    cands = banded_lsh_candidate_pairs(banded, 4, id_col)
+    return _verify_candidates(cands, ds, text_col, id_col, shingle_k,
+                              threshold)
 
 
 # -------------------------------------------- n-gram jaccard verify ----

@@ -629,3 +629,67 @@ def test_ivf_topk_self_found_and_recall(ray_session):
         e = set(exact[exact["query_id"] == qid]["vec_id"])
         assert qid in a  # self always retrieved (its own cluster is probed)
         assert len(a & e) >= 2  # reasonable recall at nprobe=3/8
+
+
+def test_minhash_verified_equals_brute_truth(ray_session, docs_with_dups):
+    """minhash_verified_duplicates = LSH candidates ∩ exact Jaccard ≥ t.
+    On a corpus where every true pair is far above the threshold (the
+    planted regime), LSH recall is total and the verified output must
+    EQUAL the brute-force O(n²) truth — pairs and jaccard values both.
+    This exactness is what licenses the brute SQL as its driver oracle."""
+    from crawtext_ray.stages.dedup import (
+        jaccard_dups_brute,
+        minhash_verified_duplicates,
+    )
+
+    truth = jaccard_dups_brute(docs_with_dups, k=3, threshold=0.5).to_pandas()
+    got = minhash_verified_duplicates(
+        docs_with_dups, shingle_k=3, threshold=0.5
+    ).to_pandas()
+    ft = {(int(r["doc_id_a"]), int(r["doc_id_b"]), r["jaccard"])
+          for _, r in truth.iterrows()}
+    fg = {(int(r["doc_id_a"]), int(r["doc_id_b"]), r["jaccard"])
+          for _, r in got.iterrows()}
+    assert ft == fg
+    assert (100, 102, 1.0) in fg  # exact copy pair
+    assert any(a == 100 and b == 101 and 0.8 < j < 1.0 for a, b, j in fg)
+
+
+def test_simhash_verified_finds_planted_pairs(ray_session, docs_with_dups):
+    """simhash_verified = simhash band candidates ∩ exact Jaccard ≥ t;
+    output is a subset of the brute truth and contains the planted
+    exact-copy pair (identical simhash ⇒ candidate in every band)."""
+    from crawtext_ray.stages.dedup import (
+        jaccard_dups_brute,
+        simhash_verified_duplicates,
+    )
+
+    truth = jaccard_dups_brute(docs_with_dups, k=3, threshold=0.8).to_pandas()
+    got = simhash_verified_duplicates(
+        docs_with_dups, shingle_k=3, threshold=0.8
+    ).to_pandas()
+    ft = {(int(r["doc_id_a"]), int(r["doc_id_b"]), r["jaccard"])
+          for _, r in truth.iterrows()}
+    fg = {(int(r["doc_id_a"]), int(r["doc_id_b"]), r["jaccard"])
+          for _, r in got.iterrows()}
+    assert fg <= ft
+    assert (100, 102, 1.0) in fg
+
+
+def test_candidate_pairs_no_dups_and_empty_ok(ray_session):
+    """banded_lsh_candidate_pairs emits each colliding pair once even
+    when it collides in several bands; disjoint corpora emit nothing and
+    the verified op returns an empty, correctly-typed frame."""
+    import ray.data as rd
+
+    from crawtext_ray.stages.dedup import minhash_verified_duplicates
+
+    distinct = rd.from_items(
+        [{"doc_id": i, "text": " ".join(f"u{i}x{j}" for j in range(40))}
+         for i in range(8)]
+    )
+    out = minhash_verified_duplicates(distinct, shingle_k=3)
+    # Ray's to_pandas() drops columns on ANY empty dataset; the Dataset
+    # schema is the stable contract (query wrappers pandas-fix it up)
+    assert out.schema().names == ["doc_id_a", "doc_id_b", "jaccard"]
+    assert out.count() == 0
