@@ -63,29 +63,36 @@ def _q_extract_articles(sf_dir: str):
     return arts.select_columns(["url", "lang", "title", "status", "n_words"])
 
 
-def _q_extract_report_lang(sf_dir: str):
+def _q_extract_reports(sf_dir: str):
+    """The flagship report family over ONE extraction pass: per-language,
+    per-status, and top-10-domain counts as (kind, key, n_docs) rows
+    (merged from three query slots — one extract instead of three)."""
+    import pyarrow as pa
+
     from crawtext_ray.pipelines.flagship import build_articles
-    from crawtext_ray.stages.report import report_lang
-
-    return report_lang(build_articles(_pages_dir(sf_dir), num_partitions=8,
-                                      concurrency="tasks"))
-
-
-def _q_extract_report_status(sf_dir: str):
-    from crawtext_ray.pipelines.flagship import build_articles
-    from crawtext_ray.stages.report import report_status
-
-    return report_status(build_articles(_pages_dir(sf_dir), num_partitions=8,
-                                        concurrency="tasks"))
-
-
-def _q_top_domains_pages(sf_dir: str):
-    from crawtext_ray.pipelines.flagship import build_articles
-    from crawtext_ray.stages.report import top_domains
-
-    return top_domains(
-        build_articles(_pages_dir(sf_dir), num_partitions=8, concurrency="tasks"), k=10
+    from crawtext_ray.stages.report import (
+        report_lang,
+        report_status,
+        top_domains,
     )
+
+    arts = build_articles(
+        _pages_dir(sf_dir), num_partitions=8, concurrency="tasks"
+    ).materialize()
+
+    def tag(ds, kind: str, key_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "kind": pa.array([kind] * t.num_rows, pa.string()),
+                "key": t[key_col].cast(pa.string()),
+                "n_docs": t["n_docs"],
+            })
+
+        return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    out = tag(report_lang(arts), "lang", "lang")
+    out = out.union(tag(report_status(arts), "status", "status"))
+    return out.union(tag(top_domains(arts, k=10), "domain", "domain"))
 
 
 def _q_lang_id(sf_dir: str):
@@ -110,8 +117,9 @@ def _q_text_features(sf_dir: str):
 
 
 def _q_fingerprint(sf_dir: str):
-    """Winnowing-style rolling fingerprint per doc (rows-only: the
-    modular rolling hash has no SQL analog; pytest covers the kernel)."""
+    """Winnowing-style rolling fingerprint per doc. Oracle-checked: the
+    Rabin-Karp window hash (base 1000003 mod 2^61-1, window 16, min over
+    positions) is reproduced exactly in DuckDB HUGEINT arithmetic."""
     import ray.data as rd
 
     from crawtext_ray.stages.textops import text_features
@@ -182,80 +190,115 @@ def _q_exact_dedup(sf_dir: str):
 
 
 def _q_minhash_dups(sf_dir: str):
+    """MinHash-LSH candidates verified by exact n-gram Jaccard ≥ 0.5.
+    Oracle-checked against the brute cross-join SQL: on this corpus every
+    true pair sits far above the threshold (all ≥ 0.88), so 32-band LSH
+    recall is total and verified output EQUALS the exact truth (the
+    equality is also pinned by a pytest planted-pair test)."""
     import ray.data as rd
 
-    from crawtext_ray.stages.dedup import minhash_lsh_duplicates
+    from crawtext_ray.stages.dedup import minhash_verified_duplicates
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
-    return minhash_lsh_duplicates(docs, shingle_k=3)
+    return minhash_verified_duplicates(docs, shingle_k=3, threshold=0.5)
 
 
 def _q_simhash_dups(sf_dir: str):
+    """SimHash band candidates verified by exact n-gram Jaccard ≥ 0.8.
+    Oracle-checked END TO END: the oracle SQL reproduces the Charikar
+    simhash itself (md5-derived token hashes, per-bit majority, 16-bit
+    quarter banding) then the same exact-Jaccard verify, so even the
+    banding recall is pinned, not just the verification."""
     import ray.data as rd
 
-    from crawtext_ray.stages.dedup import simhash_duplicates
+    from crawtext_ray.stages.dedup import simhash_verified_duplicates
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
-    return simhash_duplicates(docs)
+    return simhash_verified_duplicates(docs, shingle_k=3, threshold=0.8)
 
 
 def _q_embedding_dedup(sf_dir: str):
+    """Embedding near-dup dedup with PLANTED ground truth: exact clones
+    of vec_id < 5 are planted at vec_id + 1e6, and the full LSH-bucketed
+    cosine + connected-components machinery must recall exactly those
+    pairs (the corpus's random embeddings have no natural pair ≥ 0.95 —
+    measured at sf0.01 and sf0.1). Identical vectors always share every
+    hyperplane bucket, so recall of exact clones is deterministic.
+    cosine is rounded (float32 clone similarity is 1.0 ± ulp)."""
     import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data as rd
 
     from crawtext_ray.stages.similarity import embedding_dedup
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
     dim = len(emb.take(1)[0]["embedding"])
-    df = embedding_dedup(emb, dim=dim, threshold=0.95).to_pandas()
+
+    def plant(t: pa.Table) -> pa.Table:
+        c = t.filter(pc.less(t["vec_id"], pa.scalar(5)))
+        clones = pa.table({
+            "vec_id": pc.add(c["vec_id"], pa.scalar(1_000_000)),
+            "embedding": c["embedding"],
+        })
+        return pa.concat_tables([t, clones]).combine_chunks()
+
+    planted = emb.map_batches(plant, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    df = embedding_dedup(planted, dim=dim, threshold=0.95).to_pandas()
     if df.empty:
-        # random embeddings contain no near-dups; keep the schema stable
-        df = pd.DataFrame(
-            {
-                "vec_id": pd.Series([], dtype="int64"),
-                "rep_id": pd.Series([], dtype="int64"),
-                "cosine": pd.Series([], dtype="float64"),
-            }
-        )
+        df = pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "rep_id": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+        })
+    df["cosine"] = df["cosine"].round(4)
     return df
 
 
-def _q_ann_lsh(sf_dir: str):
+def _q_ann_topk(sf_dir: str):
+    """Approximate-NN top-k, both scale paths in one query (rows-only:
+    approximate by construction; recall-vs-exact is pytest-bound):
+    LSH-bucketed and IVF (k-means quantizer, streamed 512-row training
+    sample), tagged by method."""
     import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     from crawtext_ray.stages.relational import read_query_vectors
-    from crawtext_ray.stages.similarity import lsh_bucket_topk
+    from crawtext_ray.stages.similarity import (
+        ivf_topk,
+        lsh_bucket_topk,
+        train_ivf_centroids,
+    )
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     queries = read_query_vectors(
         f"{sf_dir}/embeddings.parquet", 3, dtype=np.float32
     )
     dim = queries["matrix"].shape[1]
-    return lsh_bucket_topk(emb, queries, dim=dim, k=10)
-
-
-def _q_ann_ivf(sf_dir: str):
-    import numpy as np
-    import pyarrow.parquet as pq
-    import ray.data as rd
-
-    from crawtext_ray.stages.relational import read_query_vectors
-    from crawtext_ray.stages.similarity import ivf_topk, train_ivf_centroids
-
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    # quantizer training sample: first 512 rows only (streamed batch read,
-    # not a whole-table driver load)
+    lsh = lsh_bucket_topk(emb, queries, dim=dim, k=10)
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     first = next(pf.iter_batches(batch_size=512, columns=["embedding"]))
     sample = np.asarray(first.column(0).to_pylist(), dtype=np.float32)
     cents = train_ivf_centroids(sample, n_clusters=16)
-    queries = read_query_vectors(
-        f"{sf_dir}/embeddings.parquet", 3, dtype=np.float32
+    ivf = ivf_topk(emb, queries, cents, k=10, nprobe=4)
+
+    def tag(method):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "method", pa.array([method] * t.num_rows, pa.string())
+            )
+
+        return fn
+
+    return lsh.map_batches(tag("lsh"), batch_format="pyarrow").union(
+        ivf.map_batches(tag("ivf"), batch_format="pyarrow")
     )
-    return ivf_topk(emb, queries, cents, k=10, nprobe=4)
 
 
 def _q_pdf_extract(sf_dir: str):
@@ -286,31 +329,6 @@ def _q_pdf_extract(sf_dir: str):
     return extract_pdf_texts(pdfs).select_columns(
         ["doc_id", "n_pages", "pdf_status", "n_chars"]
     )
-
-
-def _q_resize_images(sf_dir: str):
-    """Image-resize plumbing over fake payloads (kernel stubbed): aspect-
-    preserving integer target dims + deterministic resized-content id."""
-    import pyarrow as pa
-    import ray.data as rd
-
-    from crawtext_ray.stages.multimodal import resize_images
-
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-
-    def to_media(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "media_id": batch["doc_id"],
-            "payload": pa.array(
-                [(t or "").encode() for t in batch["text"].to_pylist()],
-                pa.binary(),
-            ),
-        })
-
-    media = docs.map_batches(to_media, batch_format="pyarrow",
-                             zero_copy_batch=True)
-    return resize_images(media, max_side=256)
 
 
 def _q_audio_segments(sf_dir: str):
@@ -351,18 +369,6 @@ def _q_approx_distinct_users(sf_dir: str):
     events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     h = build_hll(events, "user_id", p=12)
     return pd.DataFrame({"approx_distinct": [float(h.estimate())]})
-
-
-def _q_distinct_users_count(sf_dir: str):
-    """Exact COUNT(DISTINCT user_id): keyed groupby then a count of the
-    group rows — the exact companion the HLL sketch approximates."""
-    import pandas as pd
-    import ray.data as rd
-    from ray.data.aggregate import Count
-
-    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
-    n = events.groupby("user_id").aggregate(Count(alias_name="n")).count()
-    return pd.DataFrame({"n_distinct": pd.Series([n], dtype="int64")})
 
 
 def _q_frame_samples(sf_dir: str):
@@ -412,11 +418,16 @@ def _q_bfs_crawl(sf_dir: str):
 
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing: documents.text bytes as fake binary payloads
-    → decode/feature actor stage (decode kernel stubbed: no image libs)."""
+    → decode/feature actor stage + resize actor stage, joined on media_id
+    into one wide feature row (decode kernels stubbed: no image libs;
+    merged from two query slots)."""
     import pyarrow as pa
     import ray.data as rd
 
-    from crawtext_ray.stages.multimodal import decode_image_features
+    from crawtext_ray.stages.multimodal import (
+        decode_image_features,
+        resize_images,
+    )
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -433,13 +444,39 @@ def _q_media_features(sf_dir: str):
             }
         )
 
-    media = docs.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
-    return decode_image_features(media, decode="fake", batch_size=64)
+    media = docs.map_batches(to_media, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    feats = decode_image_features(media, decode="fake", batch_size=64)
+    resized = resize_images(media, max_side=256).map_batches(
+        lambda t: t.rename_columns(
+            ["media_id_r" if c == "media_id" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined = feats.join(
+        resized,
+        join_type="inner",
+        num_partitions=4,
+        on=("media_id",),
+        right_on=("media_id_r",),
+    )
+    return joined.select_columns(
+        ["media_id", "sha256", "n_bytes", "width", "height", "mean_luma",
+         "out_width", "out_height", "resized_sha"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawtext_ray.stages import relational as R
 
+    # EXACTLY 50 entries (the driver's correctness harness runs the first
+    # 50 in dict order): all 43 oracle-backed queries first, then the 7
+    # rows-only ones. Redundant slots were merged, never dropped:
+    # word_counts+quality_ints → doc_stats; window_running/lag/sliding →
+    # window_funcs; distinct_users_count → global_event_stats column;
+    # media_features+resize_images_docs → media_features (wide);
+    # ann_lsh_topk+ann_ivf_topk → ann_topk (method column); the extract
+    # report trio → extract_reports (kind column).
     return {
         # A1/A2/T1/U2 reports + distinct (oracle-checked)
         "report_lang": R.report_lang_docs,
@@ -450,8 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_events_first": R.dedup_events_first,
         "filter_events": R.filter_events,
         # scalar fns (oracle-checked)
-        "word_counts": R.word_counts_docs,
-        "quality_ints": R.quality_ints_docs,
+        "doc_stats": R.doc_stats_docs,
         "json_extract": R.json_extract_events,
         "date_buckets": R.date_buckets_events,
         "window_hourly": R.window_hourly_events,
@@ -462,29 +498,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lineitem scans (oracle-checked)
         "q1_counts": R.q1_counts_lineitem,
         "shipped_before": R.shipped_before,
-        # window functions (oracle-checked)
-        "window_running": R.window_running_events,
-        "window_lag": R.window_lag_events,
-        "window_sliding": R.window_sliding_events,
+        # window functions, one grouped pass (oracle-checked)
+        "window_funcs": R.window_funcs_events,
         # sort / star join / stats (oracle-checked)
         "top_events": R.top_events_by_value,
         "customers_per_region": R.customers_per_region,
         "events_by_type_day": R.events_by_type_day,
         "median_chars": R.median_chars_by_lang,
-        # global aggregate + set ops (oracle-checked)
+        # global aggregate (+ exact distinct users) + set ops (oracle-checked)
         "global_event_stats": R.global_event_stats,
         "union_clicks_views": R.union_clicks_views,
         "users_click_and_purchase": R.users_click_and_purchase,
-        # similarity (oracle-checked exact; approximate is rows-only)
+        # similarity: exact top-k (oracle-checked)
         "embedding_topk": R.embedding_topk_exact,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
-        "embedding_dedup": _q_embedding_dedup,
-        # dedup family over documents (exact oracle-checked; near-dup rows-only)
+        # dedup family over documents (ALL oracle-checked: exact dedup,
+        # verified minhash/simhash near-dup, brute diagnostic, planted
+        # embedding dedup)
         "exact_dedup_docs": _q_exact_dedup,
         "minhash_dups_docs": _q_minhash_dups,
         "simhash_dups_docs": _q_simhash_dups,
-        # text analysis (relevance oracle-checked; heuristics rows-only)
+        "jaccard_dups_brute": _q_jaccard_brute,
+        "embedding_dedup": _q_embedding_dedup,
+        # text analysis (oracle-checked, incl. the rolling fingerprint)
         "relevance_match": _q_relevance,
         "lang_id_docs": _q_lang_id,
         "text_features_docs": _q_text_features,
@@ -496,22 +531,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii_docs": _q_redact_pii,
         "vocabulary_topk": _q_vocabulary,
         "chunk_docs": _q_chunk_docs,
-        "jaccard_dups_brute": _q_jaccard_brute,
         "parts_by_brand_nation": R.parts_by_brand_nation,
-        # multimodal plumbing (rows-only; decode stubbed)
+        # multimodal plumbing (oracle-checked over fake kernels)
         "media_features": _q_media_features,
         "frame_samples": _q_frame_samples,
-        "approx_distinct_users": _q_approx_distinct_users,
-        "resize_images_docs": _q_resize_images,
         "audio_segments_docs": _q_audio_segments,
-        "distinct_users_count": _q_distinct_users_count,
-        "bfs_crawl_pages": _q_bfs_crawl,
         "pdf_extract": _q_pdf_extract,
-        # flagship extraction over synthetic pages (rows-only: non-SQL)
+        # ---- rows-only tail (7): non-SQL or approximate by construction
         "extract_articles": _q_extract_articles,
-        "extract_report_lang": _q_extract_report_lang,
-        "extract_report_status": _q_extract_report_status,
-        "top_domains_pages": _q_top_domains_pages,
+        "extract_reports": _q_extract_reports,
+        "bfs_crawl_pages": _q_bfs_crawl,
+        "ann_topk": _q_ann_topk,
+        "approx_distinct_users": _q_approx_distinct_users,
     }
 
 
@@ -582,6 +613,24 @@ def oracle_sql() -> dict[str, str]:
         "COALESCE(CAST(n_stop AS DOUBLE) / NULLIF(len(toks), 0), 0.0) AS stop_ratio, "
         f"{lang_case} AS pred_lang FROM h"
     )
+    # Rabin-Karp rolling fingerprint (functions.text.rolling_fingerprint):
+    # min over 16-char windows of sum(ord(c_j) * B^(15-j)) mod 2^61-1,
+    # computed positionally in HUGEINT (terms < 2^68, sums < 2^72 — no
+    # overflow; validated equal to the Python kernel on the corpus).
+    _FP_B, _FP_M = 1_000_003, (1 << 61) - 1
+    _FP_POWS = "[" + ", ".join(
+        f"CAST({pow(_FP_B, k, _FP_M)} AS HUGEINT)" for k in range(16)
+    ) + "]"
+    _FINGERPRINT_SQL = (
+        "WITH t AS (SELECT doc_id, text, least(length(text), 16) AS k "
+        "FROM documents) "
+        "SELECT doc_id, CASE WHEN length(text) = 0 THEN 0 ELSE "
+        "CAST(list_min(list_transform(generate_series(1, length(text) - k + 1), "
+        "i -> list_sum(list_transform(generate_series(0, k - 1), "
+        "j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS HUGEINT) "
+        f"* ({_FP_POWS})[k - j])) "
+        f"% CAST({_FP_M} AS HUGEINT))) AS BIGINT) END AS fingerprint FROM t"
+    )
     return {
         "report_lang": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
         "report_source": "SELECT source, count(*) AS n_docs FROM documents GROUP BY source",
@@ -600,17 +649,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id FROM events "
             "WHERE event_type = 'click' AND value >= 50.0"
         ),
-        "word_counts": (
-            r"SELECT doc_id, length(regexp_extract_all(text, '\S+')) AS n_words, "
-            r"length(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_tokens "
-            "FROM documents"
-        ),
-        "quality_ints": (
+        "doc_stats": (
             "WITH t AS (SELECT doc_id, text, "
             "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
             "FROM documents) "
             "SELECT doc_id, length(text) AS n_chars_calc, "
             r"length(regexp_extract_all(text, '\S+')) AS n_words, "
+            r"length(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_tokens, "
             r"length(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS n_punct, "
             f"length(list_filter(toks, x -> x IN ({en_sw}))) AS n_stop "
             "FROM t"
@@ -647,19 +692,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber FROM lineitem "
             "WHERE l_shipdate < TIMESTAMP '1996-01-01'"
         ),
-        "window_running": (
-            "SELECT event_id, row_number() OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id) AS event_seq FROM events"
-        ),
-        "window_lag": (
-            "SELECT event_id, COALESCE(lag(event_id) OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id), -1) AS prev_event_id "
-            "FROM events"
-        ),
-        "window_sliding": (
-            "SELECT event_id, count(*) OVER (PARTITION BY user_id ORDER BY ts "
+        "window_funcs": (
+            "SELECT event_id, "
+            "row_number() OVER w AS event_seq, "
+            "COALESCE(lag(event_id) OVER w, -1) AS prev_event_id, "
+            "count(*) OVER (PARTITION BY user_id ORDER BY ts "
             "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour "
-            "FROM events"
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
         "top_events": (
             "SELECT event_id FROM events ORDER BY value DESC, event_id LIMIT 100"
@@ -679,7 +719,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "global_event_stats": (
             "SELECT count(*) AS n_events, min(event_id) AS min_event_id, "
-            "max(event_id) AS max_event_id FROM events"
+            "max(event_id) AS max_event_id, "
+            "count(DISTINCT user_id) AS n_distinct_users FROM events"
         ),
         "union_clicks_views": (
             "SELECT event_id FROM events WHERE event_type = 'click' "
@@ -758,12 +799,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor((len(toks) - 1) / 48) AS BIGINT))) AS u(k) "
             "WHERE len(toks) >= 1"
         ),
-        "resize_images_docs": "WITH m AS (SELECT doc_id AS media_id, text, sha256(text) AS h FROM documents), b AS (SELECT media_id, text, 64 + ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 192 AS w, 64 + ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 192 AS hh FROM m), d AS (SELECT media_id, text, w, hh, greatest(w, hh) AS side FROM b), r AS (SELECT media_id, text, CASE WHEN side <= 256 THEN w ELSE greatest(1, CAST(floor(w * 256.0 / side) AS BIGINT)) END AS out_width, CASE WHEN side <= 256 THEN hh ELSE greatest(1, CAST(floor(hh * 256.0 / side) AS BIGINT)) END AS out_height FROM d) SELECT media_id, CAST(out_width AS BIGINT) AS out_width, CAST(out_height AS BIGINT) AS out_height, sha256(text || '|' || out_width || 'x' || out_height) AS resized_sha FROM r",
         "audio_segments_docs": 'WITH m AS (SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS nb FROM documents), d AS (SELECT media_id, greatest(1, CAST(floor(nb / 16) AS BIGINT)) AS dur FROM m) SELECT media_id, k AS seg_index, k * 10000 AS t_start_ms, least(k * 10000 + 10000, dur) AS t_end_ms FROM d, UNNEST(generate_series(0, CAST(floor((dur - 1) / 10000) AS BIGINT))) AS u(k)',
-        "distinct_users_count": (
-            "SELECT count(DISTINCT user_id) AS n_distinct FROM events"
-        ),
-        "media_features": 'WITH m AS (SELECT doc_id AS media_id, sha256(text) AS h, octet_length(CAST(text AS BLOB)) AS nb FROM documents), b AS (SELECT media_id, h, nb, (strpos(\'0123456789abcdef\', substr(h, 1, 1)) - 1) * 16 + (strpos(\'0123456789abcdef\', substr(h, 2, 1)) - 1) AS b0, (strpos(\'0123456789abcdef\', substr(h, 3, 1)) - 1) * 16 + (strpos(\'0123456789abcdef\', substr(h, 4, 1)) - 1) AS b1, (strpos(\'0123456789abcdef\', substr(h, 5, 1)) - 1) * 16 + (strpos(\'0123456789abcdef\', substr(h, 6, 1)) - 1) AS b2 FROM m) SELECT media_id, h AS "sha256", CAST(nb AS BIGINT) AS n_bytes, CAST(64 + b0 % 192 AS BIGINT) AS width, CAST(64 + b1 % 192 AS BIGINT) AS height, b2 / 255.0 AS mean_luma FROM b',
+        "media_features": 'WITH m AS (SELECT doc_id AS media_id, text, sha256(text) AS h, octet_length(CAST(text AS BLOB)) AS nb FROM documents), b AS (SELECT media_id, text, h, nb, (strpos(\'0123456789abcdef\', substr(h, 1, 1)) - 1) * 16 + (strpos(\'0123456789abcdef\', substr(h, 2, 1)) - 1) AS b0, (strpos(\'0123456789abcdef\', substr(h, 3, 1)) - 1) * 16 + (strpos(\'0123456789abcdef\', substr(h, 4, 1)) - 1) AS b1, (strpos(\'0123456789abcdef\', substr(h, 5, 1)) - 1) * 16 + (strpos(\'0123456789abcdef\', substr(h, 6, 1)) - 1) AS b2 FROM m), d AS (SELECT media_id, text, h, nb, CAST(64 + b0 % 192 AS BIGINT) AS width, CAST(64 + b1 % 192 AS BIGINT) AS height, b2 / 255.0 AS mean_luma FROM b), r AS (SELECT *, greatest(width, height) AS side FROM d), o AS (SELECT media_id, text, h, nb, width, height, mean_luma, CASE WHEN side <= 256 THEN width ELSE greatest(1, CAST(floor(width * 256.0 / side) AS BIGINT)) END AS out_width, CASE WHEN side <= 256 THEN height ELSE greatest(1, CAST(floor(height * 256.0 / side) AS BIGINT)) END AS out_height FROM r) SELECT media_id, h AS "sha256", CAST(nb AS BIGINT) AS n_bytes, width, height, mean_luma, out_width, out_height, sha256(text || \'|\' || out_width || \'x\' || out_height) AS resized_sha FROM o',
         "frame_samples": (
             "WITH m AS (SELECT doc_id AS media_id, "
             r"regexp_replace(text, '[^\x00-\x7f]', '', 'g') AS p FROM documents), "
@@ -791,6 +828,84 @@ def oracle_sql() -> dict[str, str]:
             "/ len(list_distinct(list_concat(a.sh, b.sh))) END AS jaccard "
             "FROM s a JOIN s b ON a.doc_id < b.doc_id) "
             "WHERE jaccard >= 0.5"
+        ),
+        # verified-minhash near-dup: on this corpus LSH recall is total
+        # (all true pairs ≥ 0.88 jaccard vs threshold 0.5; pinned by a
+        # pytest planted-pair equality test), so the exact brute cross
+        # join IS the oracle.
+        "minhash_dups_docs": (
+            "WITH t AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
+            "FROM documents), "
+            "s AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN [] "
+            "WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+            "ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2), "
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh FROM t) "
+            "SELECT * FROM ("
+            "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+            "CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0 "
+            "WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN 0.0 "
+            "ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) "
+            "/ len(list_distinct(list_concat(a.sh, b.sh))) END AS jaccard "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id) "
+            "WHERE jaccard >= 0.5"
+        ),
+        # verified-simhash near-dup, reproduced END TO END: md5-derived
+        # 64-bit token hashes (top 16 hex chars), Charikar per-bit
+        # majority, the four 16-bit quarter band keys (band id folded as
+        # top bits), band-collision candidates, exact-Jaccard ≥ 0.8
+        # verification — bit-identical to crawtext_ray.stages.dedup.
+        "simhash_dups_docs": (
+            "WITH t AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
+            "FROM documents), "
+            "tok AS (SELECT doc_id, unnest(toks) AS tok FROM t), "
+            "h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS th FROM tok), "
+            "bits AS (SELECT doc_id, b, SUM(CASE WHEN (th >> CAST(b AS UBIGINT)) & 1 = 1 "
+            "THEN 1 ELSE -1 END) AS v "
+            "FROM h, UNNEST(generate_series(0, 63)) AS g(b) GROUP BY doc_id, b), "
+            "bandq AS (SELECT doc_id, b // 16 AS q, "
+            "SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << (b % 16)) ELSE 0 END) AS quarter "
+            "FROM bits GROUP BY doc_id, b // 16), "
+            "allq AS (SELECT t.doc_id, g.q, COALESCE(bq.quarter, 0) AS quarter "
+            "FROM t CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS q) g "
+            "LEFT JOIN bandq bq ON bq.doc_id = t.doc_id AND bq.q = g.q), "
+            "bandk AS (SELECT doc_id, CAST(quarter | (q << 16) AS BIGINT) AS bk FROM allq), "
+            "cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
+            "FROM bandk a JOIN bandk b ON a.bk = b.bk AND a.doc_id < b.doc_id), "
+            "sh2 AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN [] "
+            "WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+            "ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2), "
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh FROM t) "
+            "SELECT doc_id_a, doc_id_b, jaccard FROM (SELECT c.doc_id_a, c.doc_id_b, "
+            "CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0 "
+            "WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN 0.0 "
+            "ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) "
+            "/ len(list_distinct(list_concat(a.sh, b.sh))) END AS jaccard "
+            "FROM cand c JOIN sh2 a ON a.doc_id = c.doc_id_a "
+            "JOIN sh2 b ON b.doc_id = c.doc_id_b) "
+            "WHERE jaccard >= 0.8"
+        ),
+        # planted ground truth: the query plants exact clones of
+        # vec_id < 5 at vec_id + 1e6; the corpus's random embeddings have
+        # no natural pair ≥ 0.95 (measured at sf0.01 and sf0.1), and
+        # identical vectors share every LSH bucket deterministically, so
+        # the dedup machinery must recall exactly the planted pairs.
+        "embedding_dedup": (
+            "SELECT vec_id + 1000000 AS vec_id, vec_id AS rep_id, "
+            "1.0 AS cosine FROM embeddings WHERE vec_id < 5"
+        ),
+        "fingerprint_docs": _FINGERPRINT_SQL,
+        # make_pdf round-trip: single-page Flate PDF of text[:2000]; the
+        # extractor returns lines stripped, empties dropped, joined by
+        # newline (ASCII corpus — verified: no tabs/CR/non-ASCII).
+        "pdf_extract": (
+            "WITH t AS (SELECT doc_id, substr(text, 1, 2000) AS t2 FROM documents), "
+            "l AS (SELECT doc_id, list_filter(list_transform("
+            "string_split(t2, chr(10)), x -> trim(x)), x -> x <> '') AS ls FROM t) "
+            "SELECT doc_id, CAST(1 AS BIGINT) AS n_pages, "
+            "CASE WHEN len(ls) > 0 THEN 'ok' ELSE 'unsupported' END AS pdf_status, "
+            "CAST(length(array_to_string(ls, chr(10))) AS BIGINT) AS n_chars FROM l"
         ),
         "parts_by_brand_nation": (
             "SELECT p_brand, n_name, count(*) AS n_items, "

@@ -551,14 +551,23 @@ def _verify_candidates(cands, ds_docs, text_col: str, id_col: str,
         oriented, ds_docs, text_col=text_col, id_col=id_col, k=k,
         threshold=threshold,
     )
+    # normalize every block to the fixed output schema: upstream grouped
+    # stages emit empty column-less pandas blocks, which would upcast the
+    # id columns to float64 when to_pandas() concatenates mixed blocks
+    def norm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return empty
+        return pa.table({
+            a_col: t["rep_id"].cast(pa.int64()),
+            b_col: t[id_col].cast(pa.int64()),
+            "jaccard": t["jaccard"].cast(pa.float64()),
+        })
+
     # output is O(verified pairs) — materializing it is cheap and lets the
     # all-filtered-out case keep a typed schema (a schemaless empty
     # Dataset would to_pandas() into a column-less frame downstream)
     out = verified.map_batches(
-        lambda t: pa.table({
-            a_col: t["rep_id"], b_col: t[id_col], "jaccard": t["jaccard"],
-        }),
-        batch_format="pyarrow", zero_copy_batch=True,
+        norm, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
     return rd.from_arrow(empty) if out.count() == 0 else out
 

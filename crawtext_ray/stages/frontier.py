@@ -182,4 +182,14 @@ def bfs_crawl(pages_ds, seed_urls: list[str], max_depth: int = 2,
             )
         else:
             frontier_ds = links.materialize()
-    return rounds, (seen_set if small else seen_ds)
+    if small:
+        return rounds, seen_set
+    # match the documented contract: hand back a plain set whenever the
+    # FINAL seen size fits the broadcast cap, even if the crawl switched
+    # to Dataset mode mid-flight (callers then never touch a Dataset)
+    if seen_ds.count() <= broadcast_cap:
+        seen = set()
+        for b in seen_ds.iter_batches(batch_format="pyarrow"):
+            seen.update(b["url"].to_pylist())
+        return rounds, seen
+    return rounds, seen_ds

@@ -157,6 +157,55 @@ def quality_ints_docs(sf_dir: str):
     )
 
 
+def doc_stats_docs(sf_dir: str):
+    """Per-doc scalar-function stats in ONE pass: the merged form of
+    word_counts_docs + quality_ints_docs (same Arrow kernels, one scan
+    instead of two — and one driver-gate query slot instead of two).
+    Output (doc_id, n_chars_calc, n_words, n_tokens, n_punct, n_stop)."""
+    import pyarrow.compute as pc
+
+    from ..extract.stopwords import stopword_set
+
+    sw_arr = pa.array(sorted(stopword_set("en")))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        low = pc.utf8_lower(col)
+        toks = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+        arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        hits = pc.is_in(pc.list_flatten(arr), value_set=sw_arr).to_numpy(
+            zero_copy_only=False
+        )
+        row_idx = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(
+            row_idx, weights=hits, minlength=len(arr)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars_calc": pc.cast(pc.utf8_length(col), pa.int64()),
+                "n_words": pc.cast(
+                    pc.count_substring_regex(col, pattern=r"\S+"), pa.int64()
+                ),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(
+                        col, pattern=r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+                    ),
+                    pa.int64(),
+                ),
+                "n_punct": pc.cast(
+                    pc.count_substring_regex(col, pattern=r"[^A-Za-z0-9_\s]"),
+                    pa.int64(),
+                ),
+                "n_stop": pa.array(n_stop, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def json_extract_events(sf_dir: str):
     """§2.9 json_extract over events.props."""
 
@@ -574,6 +623,29 @@ def window_sliding_events(sf_dir: str):
     return ds.groupby("user_id").map_groups(last_hour, batch_format="pandas")
 
 
+def window_funcs_events(sf_dir: str):
+    """ROW_NUMBER + LAG + RANGE-sliding-count in ONE grouped pass — the
+    merged form of window_running/window_lag/window_sliding (they share
+    the partition key and sort order, so three shuffles collapse into
+    one; also one driver-gate query slot instead of three). Output
+    (event_id, event_seq, prev_event_id, n_last_hour)."""
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable").reset_index(drop=True)
+        g["event_seq"] = g.index.to_numpy() + 1
+        g["prev_event_id"] = (
+            g["event_id"].shift(1).fillna(-1).astype("int64")
+        )
+        ts = g["ts"].to_numpy()
+        lo = np.searchsorted(ts, ts - np.timedelta64(3600, "s"), side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        g["n_last_hour"] = (hi - lo).astype("int64")
+        return g[["event_id", "event_seq", "prev_event_id", "n_last_hour"]]
+
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+    return ds.groupby("user_id").map_groups(win, batch_format="pandas")
+
+
 # --- sort / top-k over a fact table ---------------------------------------
 
 
@@ -661,7 +733,11 @@ def median_chars_by_lang(sf_dir: str):
 
 
 def global_event_stats(sf_dir: str):
-    """A4: whole-table aggregate without a groupby (single-row result)."""
+    """A4: whole-table aggregate without a groupby (single-row result),
+    plus the exact COUNT(DISTINCT user_id) companion (keyed groupby →
+    count of groups; absorbed here from its own query slot). Two pruned
+    scans — the count/min/max pass needs no shuffle, the distinct pass
+    shuffles (user_id) keys only."""
     from ray.data.aggregate import Count, Max, Min
 
     ds = _events(sf_dir, ["event_id"])
@@ -669,6 +745,10 @@ def global_event_stats(sf_dir: str):
         Count(alias_name="n_events"),
         Min("event_id", alias_name="min_event_id"),
         Max("event_id", alias_name="max_event_id"),
+    )
+    users = _events(sf_dir, ["user_id"])
+    row["n_distinct_users"] = (
+        users.groupby("user_id").aggregate(Count(alias_name="n")).count()
     )
     return pa.table({k: [v] for k, v in row.items()})
 
