@@ -748,9 +748,17 @@ def jaccard_dups_brute(ds, text_col: str = "text", id_col: str = "doc_id",
         batch_format="pyarrow", zero_copy_batch=True,
     )
     ids, sets = [], []
-    for r in shingled.iter_rows():
-        ids.append(r[id_col])
-        sets.append(frozenset(int(v) for v in r["sh"]))
+    for b in shingled.iter_batches(batch_format="pyarrow"):
+        ids.extend(b[id_col].to_pylist())
+        col = b["sh"].combine_chunks()
+        # .values (not flatten): offsets index the raw child array, and
+        # these lists are never null so the pairing is exact
+        vals = col.values.to_numpy(zero_copy_only=False)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        sets.extend(
+            frozenset(vals[offs[i]:offs[i + 1]].tolist())
+            for i in range(len(col))
+        )
     order = np.argsort(np.asarray(ids))
     ids = [ids[i] for i in order]
     sets = [sets[i] for i in order]
