@@ -831,8 +831,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         # verified-minhash near-dup: on this corpus LSH recall is total
         # (all true pairs ≥ 0.88 jaccard vs threshold 0.5; pinned by a
-        # pytest planted-pair equality test), so the exact brute cross
-        # join IS the oracle.
+        # pytest planted-pair equality test), so the exact Jaccard truth
+        # IS the oracle — computed by an INVERTED-INDEX join (shingle →
+        # pair → shared count), near-linear instead of the brute O(n²)
+        # cross join (validated equal to the cross join at sf0.01; runs
+        # sf0.1 in seconds, so this oracle needs no scale skip).
         "minhash_dups_docs": (
             "WITH t AS (SELECT doc_id, list_filter("
             "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
@@ -840,15 +843,18 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN [] "
             "WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
             "ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2), "
-            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh FROM t) "
-            "SELECT * FROM ("
-            "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
-            "CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0 "
-            "WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN 0.0 "
-            "ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) "
-            "/ len(list_distinct(list_concat(a.sh, b.sh))) END AS jaccard "
-            "FROM s a JOIN s b ON a.doc_id < b.doc_id) "
-            "WHERE jaccard >= 0.5"
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh FROM t), "
+            "u AS (SELECT doc_id, unnest(sh) AS g FROM s), "
+            "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared "
+            "FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "sz AS (SELECT doc_id, len(sh) AS n FROM s), "
+            "j AS (SELECT da AS doc_id_a, db AS doc_id_b, "
+            "CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard "
+            "FROM p JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db "
+            "UNION ALL SELECT a.doc_id, b.doc_id, 1.0 "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "AND len(a.sh) = 0 AND len(b.sh) = 0) "
+            "SELECT doc_id_a, doc_id_b, jaccard FROM j WHERE jaccard >= 0.5"
         ),
         # verified-simhash near-dup, reproduced END TO END: md5-derived
         # 64-bit token hashes (top 16 hex chars), Charikar per-bit
