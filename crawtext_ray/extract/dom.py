@@ -199,14 +199,19 @@ class _TreeBuilder(HTMLParser):
 
     # helpers
     def _new_node(self, tag: str, attrs: list[tuple[str, str | None]]) -> Node:
+        # HTMLParser delivers tag and attribute NAMES already lowercased
         d: dict[str, str] = {}
         for k, v in attrs:
-            k = k.lower()
             if k not in d:  # first value wins (determinism contract)
                 d[k] = v if v is not None else ""
         n = Node(tag, d, self._order)
         self._order += 1
         return n
+
+    def updatepos(self, i: int, j: int) -> int:
+        # line/col tracking feeds only error messages we never surface;
+        # HTMLParser.goahead only needs the returned scan position
+        return j
 
     def _add_text(self, data: str) -> None:
         cur = self.stack[-1]
@@ -217,7 +222,6 @@ class _TreeBuilder(HTMLParser):
 
     # parser events
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
-        tag = tag.lower()
         # implicit closes
         closers = _IMPLICIT_CLOSE.get(tag)
         top = self.stack[-1].tag
@@ -231,12 +235,10 @@ class _TreeBuilder(HTMLParser):
             self.stack.append(node)
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
-        tag = tag.lower()
         node = self._new_node(tag, attrs)
         self.stack[-1].append(node)
 
     def handle_endtag(self, tag: str) -> None:
-        tag = tag.lower()
         if tag in VOID_ELEMENTS:
             return
         # pop to the matching open tag if present; ignore stray end tags
