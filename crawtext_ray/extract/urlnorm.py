@@ -81,12 +81,43 @@ def canon_url(base: str, href: str) -> str:
     return urlunsplit((scheme, netloc, path, query, ""))
 
 
+def _simple_http_path(url: str) -> str | None:
+    """Path component of a plain lowercase-scheme http(s) URL without the
+    urlsplit machinery, or None when the shape needs the slow path.
+    Equivalence with ``urlsplit(url).path`` on the accepted shapes is
+    asserted by a differential test (test_urlnorm)."""
+    if url.startswith("https://"):
+        i = 8
+    elif url.startswith("http://"):
+        i = 7
+    else:
+        return None
+    if "\t" in url or "\r" in url or "\n" in url:
+        return None  # urlsplit strips these; defer to it
+    end = len(url)
+    h = url.find("#", i)
+    if h != -1:
+        end = h
+    q = url.find("?", i)
+    if q != -1 and q < end:
+        end = q
+    s = url.find("/", i)
+    if s == -1 or s >= end:
+        return ""
+    if "[" in url[i:s]:
+        return None  # IPv6 netloc: urlsplit validates brackets
+    return url[s:end]
+
+
 def has_bad_extension(url: str) -> bool:
     """M2: media/binary extension test on the path."""
-    try:
-        path = _cached_urlsplit(url).path.lower()
-    except ValueError:
-        return True
+    path = _simple_http_path(url)
+    if path is None:
+        try:
+            path = _cached_urlsplit(url).path
+        except ValueError:
+            return True
+    path = path.lower()
     dot = path.rfind(".")
     if dot == -1:
         return False
@@ -95,6 +126,12 @@ def has_bad_extension(url: str) -> bool:
 
 def is_crawlable(url: str) -> bool:
     """M2 combined filter: http(s) scheme and no bad extension."""
+    # fast path: the lowercase "http(s)://" prefix IS the scheme test
+    path = _simple_http_path(url)
+    if path is not None:
+        path = path.lower()
+        dot = path.rfind(".")
+        return dot == -1 or path[dot:] not in BAD_EXTENSIONS
     try:
         scheme = _cached_urlsplit(url).scheme.lower()
     except ValueError:

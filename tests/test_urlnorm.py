@@ -53,3 +53,79 @@ def test_bad_extensions():
 def test_domain_of():
     assert domain_of("http://Sub.Example.com:8080/p") == "sub.example.com"
     assert domain_of("not a url") == ""
+
+
+def test_simple_http_path_differential():
+    """_simple_http_path must equal urlsplit().path wherever it claims a
+    result; shapes it declines fall back to urlsplit in the callers."""
+    from urllib.parse import urlsplit
+
+    from crawtext_ray.extract.urlnorm import _simple_http_path
+
+    cases = [
+        "http://a.com/x/y.pdf",
+        "https://a.com",
+        "http://a.com/",
+        "http://a.com/p?q=1.zip",
+        "http://a.com/p#frag.gif",
+        "http://a.com/p?x=1#f",
+        "http://a.com/p#f?x=1.png",
+        "http://a.com/a%2Fb.c",
+        "http:///rootless.path",
+        "https://host:8080/with.port",
+        "http://user:pw@host/with.auth",
+        "http://a.com/trailing.",
+        "http://a.com/.hidden",
+        "http://a.com/..",
+        "http://a.com/path with space.doc",
+        "https://a.com/?only=query",
+        "http://a.com#only-frag",
+    ]
+    for u in cases:
+        fast = _simple_http_path(u)
+        assert fast is not None, u
+        assert fast == urlsplit(u).path, u
+    # declined shapes: slow path must be used (None), never a wrong answer
+    for u in [
+        "HTTP://a.com/x",          # uppercase scheme prefix
+        "ftp://a.com/x",
+        "http://[::1]/v6.path",    # IPv6 netloc
+        "http://a.com/tab\t.pdf",  # urlsplit strips unsafe bytes
+        "relative/path.png",
+        "",
+    ]:
+        assert _simple_http_path(u) is None, u
+
+
+def test_is_crawlable_differential_vs_urlsplit():
+    """is_crawlable fast path agrees with a pure-urlsplit reference
+    implementation across url shapes (byte-identity guard for M2)."""
+    from urllib.parse import urlsplit
+
+    from crawtext_ray.extract.urlnorm import (
+        ALLOWED_SCHEMES,
+        BAD_EXTENSIONS,
+        is_crawlable,
+    )
+
+    def ref(url: str) -> bool:
+        try:
+            parts = urlsplit(url)
+        except ValueError:
+            return False
+        if parts.scheme.lower() not in ALLOWED_SCHEMES:
+            return False
+        path = parts.path.lower()
+        dot = path.rfind(".")
+        return dot == -1 or path[dot:] not in BAD_EXTENSIONS
+
+    cases = [
+        "http://a.com/ok", "http://a.com/f.zip", "https://a.com",
+        "HTTP://A.com/F.ZIP", "https://a.com/x.HtMl", "ftp://a.com/f",
+        "http://a.com/p?x=.pdf", "http://a.com/p#.pdf",
+        "http://a.com/deep/path/file.webm", "http://[::1]/x.png",
+        "mailto:x@y.z", "", "not a url", "http://a.com/a.b.c.exe",
+        "https://host:443/x.y", "http://a.com/%2e%2e/f.js",
+    ]
+    for u in cases:
+        assert is_crawlable(u) == ref(u), u
