@@ -122,8 +122,42 @@ class AdblockRules:
         self._except_index: dict[str, list[int]] = {}
         self._block_untokenized: list[int] = []
         self._except_untokenized: list[int] = []
+        # verdict memo: nav/footer outlinks repeat across pages of a site,
+        # so on real web corpora most should_block calls are repeats.
+        # Bounded (cleared at the cap) — rule sets are immutable after init.
+        self._verdicts: dict[str, bool] = {}
         for raw in lines:
             self._add_line(raw)
+        # hide-rule candidate index: a rule requiring a class/id can only
+        # match nodes carrying it, so bucket by that attribute and keep
+        # only tag-only rules in the per-node scan list
+        self._hide_by_cls: dict[str, list[HideRule]] = {}
+        self._hide_by_id: dict[str, list[HideRule]] = {}
+        self._hide_plain: list[HideRule] = []
+        for h in self.hide_rules:
+            if h.cls:
+                self._hide_by_cls.setdefault(h.cls, []).append(h)
+            elif h.elid:
+                self._hide_by_id.setdefault(h.elid, []).append(h)
+            else:
+                self._hide_plain.append(h)
+
+    def hide_candidates(self, node: "Node") -> list[HideRule]:
+        """Hide rules that could possibly match ``node`` (superset filter;
+        callers still run ``matches`` on each)."""
+        cands = list(self._hide_plain)
+        if self._hide_by_cls:
+            for c in node.classes():
+                hit = self._hide_by_cls.get(c)
+                if hit:
+                    cands.extend(hit)
+        if self._hide_by_id:
+            nid = node.get("id")
+            if nid:
+                hit = self._hide_by_id.get(nid)
+                if hit:
+                    cands.extend(hit)
+        return cands
 
     def _add_line(self, raw: str) -> None:
         line = raw.strip()
@@ -197,6 +231,8 @@ class AdblockRules:
         return cands
 
     def _any_match(self, url: str, rules: list[UrlRule], cands: list[int]) -> bool:
+        if not cands:
+            return False
         host = domain_of(url)
         seen: set[int] = set()
         for i in cands:
@@ -210,12 +246,22 @@ class AdblockRules:
 
     def should_block(self, url: str) -> bool:
         """F2: block iff a block rule matches and no exception matches."""
+        v = self._verdicts.get(url)
+        if v is not None:
+            return v
         url_l = url.lower()
         bc = self._candidates(url_l, self._block_index, self._block_untokenized)
         if not self._any_match(url, self.block_rules, bc):
-            return False
-        ec = self._candidates(url_l, self._except_index, self._except_untokenized)
-        return not self._any_match(url, self.except_rules, ec)
+            v = False
+        else:
+            ec = self._candidates(
+                url_l, self._except_index, self._except_untokenized
+            )
+            v = not self._any_match(url, self.except_rules, ec)
+        if len(self._verdicts) >= 1 << 17:
+            self._verdicts.clear()
+        self._verdicts[url] = v
+        return v
 
     def hide_elements(self, root: Node) -> int:
         """F3: remove DOM elements matched by element-hiding rules (minus
@@ -226,7 +272,8 @@ class AdblockRules:
         for n in list(root.iter()):
             if n.parent is None or n.tag.startswith("#"):
                 continue
-            if any(h.matches(n) for h in self.hide_rules) and not any(
+            cands = self.hide_candidates(n)
+            if cands and any(h.matches(n) for h in cands) and not any(
                 h.matches(n) for h in self.hide_exceptions
             ):
                 n.parent.remove(n)

@@ -109,6 +109,36 @@ def _simple_http_path(url: str) -> str | None:
     return url[s:end]
 
 
+def _simple_http_host(url: str) -> str | None:
+    """Lowercased host of a plain lowercase-scheme http(s) URL without the
+    urlsplit machinery, or None when the shape needs the slow path.
+    Equivalence with ``(urlsplit(url).hostname or "").lower()`` on the
+    accepted shapes is asserted by a differential test (test_urlnorm)."""
+    if url.startswith("https://"):
+        i = 8
+    elif url.startswith("http://"):
+        i = 7
+    else:
+        return None
+    if "\t" in url or "\r" in url or "\n" in url:
+        return None  # urlsplit strips these; defer to it
+    end = len(url)
+    for sep in "/?#":
+        j = url.find(sep, i)
+        if j != -1 and j < end:
+            end = j
+    netloc = url[i:end]
+    at = netloc.rfind("@")
+    if at != -1:
+        netloc = netloc[at + 1:]
+    if "[" in netloc or "]" in netloc:
+        return None  # IPv6: urlsplit validates bracket placement
+    colon = netloc.find(":")
+    if colon != -1:
+        netloc = netloc[:colon]
+    return netloc.lower()
+
+
 def has_bad_extension(url: str) -> bool:
     """M2: media/binary extension test on the path."""
     path = _simple_http_path(url)
@@ -141,6 +171,9 @@ def is_crawlable(url: str) -> bool:
 
 def domain_of(url: str) -> str:
     """Scalar fn (SURVEY.md §2.9): lowercased host, or ""."""
+    host = _simple_http_host(url)
+    if host is not None:
+        return host
     try:
         return (_cached_urlsplit(url).hostname or "").lower()
     except ValueError:

@@ -129,3 +129,50 @@ def test_is_crawlable_differential_vs_urlsplit():
     ]
     for u in cases:
         assert is_crawlable(u) == ref(u), u
+
+
+def test_simple_http_host_differential():
+    """_simple_http_host must equal (urlsplit().hostname or '').lower()
+    wherever it claims a result; declined shapes fall back to urlsplit."""
+    from urllib.parse import urlsplit
+
+    from crawtext_ray.extract.urlnorm import _simple_http_host
+
+    cases = [
+        "http://a.com/x", "https://A.Com", "http://a.com",
+        "http://Sub.Example.com:8080/p", "http://host:/p",
+        "http://user:pw@Host.com/x", "http://@host/x",
+        "http://a@b@c.com/x",          # rightmost @ wins
+        "http:///rootless", "http://", "https://host?q=1", "http://h#f",
+        "http://host:bad/p",           # hostname ignores port validity
+        "http://xn--bcher-kva.example/x",
+        "http://a.com:80?x@y",         # @ in query, not netloc
+    ]
+    for u in cases:
+        fast = _simple_http_host(u)
+        assert fast is not None, u
+        assert fast == (urlsplit(u).hostname or "").lower(), u
+    for u in [
+        "HTTP://a.com/x", "ftp://a.com/x", "http://[::1]/x",
+        "http://[::1]:8080/x", "http://a\t.com/x", "rel/x", "",
+    ]:
+        assert _simple_http_host(u) is None, u
+
+
+def test_should_block_memo():
+    """Memoized verdicts equal fresh ones, and the memo is bounded."""
+    from crawtext_ray.extract.adblock import AdblockRules
+
+    rules = AdblockRules(["||ads.example.com^", "/banner/", "@@||ads.example.com/ok/"])
+    cases = [
+        ("http://ads.example.com/x", True),
+        ("http://ads.example.com/ok/x", False),
+        ("http://a.com/banner/1.gif", True),
+        ("http://a.com/fine", False),
+    ]
+    for u, want in cases:
+        assert rules.should_block(u) == want, u
+        assert rules.should_block(u) == want, u  # memo hit path
+    rules._verdicts = dict.fromkeys(map(str, range((1 << 17) - 1)), False)
+    assert rules.should_block("http://a.com/banner/2.gif") is True
+    assert len(rules._verdicts) <= (1 << 17)
