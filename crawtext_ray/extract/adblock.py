@@ -269,7 +269,7 @@ class AdblockRules:
         if not self.hide_rules:
             return 0
         removed = 0
-        for n in list(root.iter()):
+        for n in root.walk():
             if n.parent is None or n.tag.startswith("#"):
                 continue
             cands = self.hide_candidates(n)

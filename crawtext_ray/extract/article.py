@@ -36,7 +36,7 @@ def _extract_outlinks(root, page_url: str, rules: AdblockRules | None) -> list[s
     # per-page memo: real pages repeat nav/footer hrefs dozens of times —
     # canonize + filter + adblock-match each distinct href once
     memo: dict[str, str | None] = {}
-    for a in root.iter("a"):
+    for a in root.walk("a"):
         href = a.get("href")
         if not href:
             continue

@@ -45,7 +45,7 @@ _DROP_CAP_RE = re.compile(r"drop_?cap(ital)?", re.IGNORECASE)
 
 def remove_comments(root: Node) -> None:
     """C1 (goose: remove_comments)."""
-    for n in list(root.iter()):
+    for n in root.walk():
         if n.tag == COMMENT and n.parent is not None:
             n.parent.remove(n)
 
@@ -53,7 +53,7 @@ def remove_comments(root: Node) -> None:
 def remove_scripts_styles(root: Node) -> None:
     """C2 (goose: remove_scripts_styles): drop script/style/noscript with
     their text content."""
-    for n in list(root.iter()):
+    for n in root.walk():
         if n.tag in ("script", "style", "noscript") and n.parent is not None:
             n.parent.remove(n)
 
@@ -62,7 +62,7 @@ def remove_naughty_nodes(root: Node) -> None:
     """C3 (goose: clean_bad_tags): remove elements whose id/class/name
     matches the boilerplate alternation. html/body are never removed."""
     rx = _naughty_re()
-    for n in list(root.iter()):
+    for n in root.walk():
         if n.parent is None or n.tag in ("html", "body", "#document"):
             continue
         ident = n.id_class_name()
@@ -72,7 +72,7 @@ def remove_naughty_nodes(root: Node) -> None:
 
 def remove_targeted_nodes(root: Node) -> None:
     """C4: targeted regex removals on class/id."""
-    for n in list(root.iter()):
+    for n in root.walk():
         if n.parent is None or n.tag in ("html", "body", "#document"):
             continue
         ident = n.id_class_name()
@@ -83,14 +83,14 @@ def remove_targeted_nodes(root: Node) -> None:
 
 def clean_em_tags(root: Node) -> None:
     """C5a (goose: clean_em_tags): unwrap <em> without <img> descendants."""
-    for n in list(root.iter("em")):
+    for n in root.walk("em"):
         if n.parent is not None and n.find_first("img") is None:
             n.unwrap()
 
 
 def remove_drop_caps(root: Node) -> None:
     """C5b (goose: remove_drop_caps): unwrap styled drop-cap spans."""
-    for n in list(root.iter("span")):
+    for n in root.walk("span"):
         if n.parent is None:
             continue
         if _DROP_CAP_RE.search(n.get("class")) or _DROP_CAP_RE.search(n.get("id")):
@@ -99,8 +99,8 @@ def remove_drop_caps(root: Node) -> None:
 
 def clean_para_spans(root: Node) -> None:
     """C5c (goose: clean_para_spans): unwrap spans inside paragraphs."""
-    for p in list(root.iter("p")):
-        for n in list(p.iter("span")):
+    for p in root.walk("p"):
+        for n in p.walk("span"):
             if n.parent is not None:
                 n.unwrap()
 
@@ -119,7 +119,7 @@ def div_to_para(root: Node) -> None:
     block-level descendants becomes a <p>; inside mixed divs, contiguous
     runs of text/inline children are wrapped in new <p> elements while
     block children stay in place."""
-    for div in list(root.iter("div")):
+    for div in root.walk("div"):
         if div.parent is None:
             continue
         if not _has_block_descendant(div):
@@ -174,7 +174,7 @@ def remove_unwanted(root: Node, rules=None) -> None:
     rx = _naughty_re()
     hide = rules.hide_rules if rules is not None else ()
     hide_exc = rules.hide_exceptions if rules is not None else ()
-    for n in list(root.iter()):
+    for n in root.walk():
         if n.parent is None:
             continue
         tag = n.tag

@@ -15,7 +15,15 @@ assigned at creation.
 
 from __future__ import annotations
 
-from html.parser import HTMLParser
+import re
+from html import unescape as _unescape
+from html.parser import (
+    HTMLParser,
+    attrfind_tolerant as _attrfind,
+    commentclose as _commentclose,
+    endtagfind as _endtagfind,
+    tagfind_tolerant as _tagfind,
+)
 from typing import Iterator
 
 COMMENT = "#comment"
@@ -137,8 +145,26 @@ class Node:
                 yield n
             stack.extend(reversed(n.children))
 
+    def walk(self, tag: str | None = None) -> list["Node"]:
+        """Materialized ``iter()`` (same DFS document order, self included)
+        without per-node generator resumption — for callers that consume
+        the whole walk (every cleaner/formatter pass does)."""
+        stack = [self]
+        pop = stack.pop
+        push = stack.extend
+        out: list[Node] = []
+        add = out.append
+        while stack:
+            n = pop()
+            if tag is None or n.tag == tag:
+                add(n)
+            cs = n.children
+            if cs:
+                push(reversed(cs))
+        return out
+
     def find_all(self, tags: frozenset[str] | set[str]) -> list["Node"]:
-        return [n for n in self.iter() if n.tag in tags]
+        return [n for n in self.walk() if n.tag in tags]
 
     def find_first(self, tag: str) -> "Node | None":
         for n in self.iter(tag):
@@ -156,7 +182,33 @@ class Node:
                 yield c.tail
 
     def text_content(self) -> str:
-        return "".join(self.itertext())
+        """``"".join(self.itertext())`` without recursive-generator
+        resumption: DFS with tail strings pushed as literal stack entries
+        (a child's tail is emitted after its subtree; comments contribute
+        their tail but never their text — itertext semantics exactly)."""
+        if self.tag == COMMENT:
+            return ""
+        out: list[str] = []
+        add = out.append
+        stack: list[Node | str] = [self]
+        pop = stack.pop
+        push = stack.append
+        while stack:
+            x = pop()
+            if x.__class__ is str:
+                add(x)
+                continue
+            if x.tag == COMMENT:
+                continue
+            if x.text:
+                add(x.text)
+            cs = x.children
+            for i in range(len(cs) - 1, -1, -1):
+                c = cs[i]
+                if c.tail:
+                    push(c.tail)
+                push(c)
+        return "".join(out)
 
     # -- attribute helpers -------------------------------------------------
     def get(self, name: str, default: str = "") -> str:
@@ -264,13 +316,176 @@ class _TreeBuilder(HTMLParser):
         pass
 
 
+class _Bail(Exception):
+    """Raised by the fast scanner on a construct it does not replicate;
+    the caller re-parses the whole document with stdlib HTMLParser."""
+
+
+# <tagname> with no attributes — the majority of tags in article bodies.
+# Equivalent to tagfind_tolerant + empty attr loop + '>' on this shape.
+_SIMPLE_START = re.compile(r"([a-zA-Z][a-zA-Z0-9]*)>")
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
+}
+
+
+def _fast_build(html: str, b: _TreeBuilder) -> None:
+    """Single-pass tokenizer replicating the event sequence stdlib
+    ``HTMLParser(convert_charrefs=True)`` emits to our handlers (the tree
+    coalesces adjacent data events, so chunking differences are
+    immaterial). Reuses the stdlib's own compiled regexes for tag name,
+    attribute, end-tag, and comment-close matching so accept/position
+    semantics are identical by construction; raises ``_Bail`` on the
+    rare constructs it does not cover (junk inside a start tag, EOF
+    inside markup, marked sections) and the caller falls back to stdlib
+    for that document. Differential tree-identity tests: test_dom.py."""
+    handle_data = b.handle_data
+    handle_starttag = b.handle_starttag
+    handle_endtag = b.handle_endtag
+    handle_comment = b.handle_comment
+    find = html.find
+    i, n = 0, len(html)
+    cdata: str | None = None
+    while i < n:
+        if cdata is not None:
+            m = _CDATA_CLOSE[cdata].search(html, i)
+            if m is None:
+                return  # unterminated script/style swallows to EOF
+            if i < m.start():
+                handle_data(html[i : m.start()])  # raw: no charrefs in cdata
+            handle_endtag(cdata)
+            cdata = None
+            i = m.end()
+            continue
+        j = find("<", i)
+        if j < 0:
+            handle_data(_unescape(html[i:]))
+            return
+        if i < j:
+            handle_data(_unescape(html[i:j]))
+        i = j
+        c = html[i + 1] if i + 1 < n else ""
+        if ("a" <= c <= "z") or ("A" <= c <= "Z"):
+            m = _SIMPLE_START.match(html, i + 1)
+            if m is not None:  # <p>, <div>, <b> ... the hot shape
+                tag = m.group(1).lower()
+                handle_starttag(tag, [])
+                if tag in ("script", "style"):
+                    cdata = tag
+                i = m.end()
+                continue
+            m = _tagfind.match(html, i + 1)
+            k = m.end()
+            tag = m.group(1).lower()
+            attrs: list[tuple[str, str | None]] = []
+            while True:
+                ch = html[k] if k < n else ""
+                if ch == ">":
+                    k += 1
+                    selfclose = False
+                    break
+                if ch == "/" and html.startswith("/>", k):
+                    k += 2
+                    selfclose = True
+                    break
+                am = _attrfind.match(html, k)
+                if am is None:
+                    raise _Bail  # junk inside tag / EOF inside tag
+                attrname, rest, attrvalue = am.group(1, 2, 3)
+                if not rest:
+                    attrvalue = None
+                elif (
+                    attrvalue[:1] == "'" == attrvalue[-1:]
+                    or attrvalue[:1] == '"' == attrvalue[-1:]
+                ):
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue:
+                    attrvalue = _unescape(attrvalue)
+                attrs.append((attrname.lower(), attrvalue))
+                k = am.end()
+            if selfclose:
+                b.handle_startendtag(tag, attrs)
+            else:
+                handle_starttag(tag, attrs)
+                if tag in ("script", "style"):
+                    cdata = tag
+            i = k
+        elif c == "/":
+            m = _endtagfind.match(html, i)
+            if m is not None:
+                handle_endtag(m.group(1).lower())
+                i = m.end()
+                continue
+            # tolerant paths: </tag junk>, </>, </ junk → bogus comment
+            nm = _tagfind.match(html, i + 2)
+            if nm is None:
+                if html.startswith("</>", i):
+                    i += 3
+                    continue
+                pos = find(">", i + 2)
+                if pos < 0:
+                    raise _Bail  # EOF recovery differs; defer to stdlib
+                handle_comment(html[i + 2 : pos])
+                i = pos + 1
+                continue
+            gtpos = find(">", nm.end())
+            if gtpos < 0:
+                raise _Bail
+            handle_endtag(nm.group(1).lower())
+            i = gtpos + 1
+        elif html.startswith("<!--", i):
+            m = _commentclose.search(html, i + 4)
+            if m is None:
+                raise _Bail  # unterminated comment: stdlib EOF recovery
+            handle_comment(html[i + 4 : m.start()])
+            i = m.end()
+        elif c == "?":
+            pos = find(">", i + 2)
+            if pos < 0:
+                raise _Bail
+            i = pos + 1  # handle_pi is a no-op for the tree
+        elif c == "!":
+            if html.startswith("<![", i):
+                raise _Bail  # marked section (parse_marked_section)
+            if html[i : i + 9].lower() == "<!doctype":
+                pos = find(">", i + 9)
+                if pos < 0:
+                    raise _Bail
+                i = pos + 1  # handle_decl is a no-op for the tree
+            else:
+                pos = find(">", i + 2)
+                if pos < 0:
+                    raise _Bail
+                handle_comment(html[i + 2 : pos])  # bogus comment
+                i = pos + 1
+        else:
+            # lone '<' (incl. as the final character: stdlib breaks, then
+            # the end-flush emits it as data — same coalesced text)
+            handle_data("<")
+            i += 1
+
+
 def parse_html(html: str) -> Node:
     """Parse (possibly broken) HTML into a Node tree; never raises on
-    malformed markup — html.parser is lenient by construction."""
+    malformed markup — the fast scanner bails to stdlib ``html.parser``
+    (lenient by construction) on constructs it does not replicate."""
     b = _TreeBuilder()
-    b.feed(html)
-    b.close()
-    return b.root
+    try:
+        _fast_build(html, b)
+        return b.root
+    except _Bail:
+        b = _TreeBuilder()
+        try:
+            b.feed(html)
+            b.close()
+        except Exception:
+            # stdlib chokes on pathological markup (e.g. _markupbase
+            # AssertionError on '<![' junk); keep the partial tree —
+            # lenient like the reference's lxml, and such inputs crashed
+            # outright before, so no golden depends on them
+            pass
+        return b.root
 
 
 def serialize(node: Node) -> str:

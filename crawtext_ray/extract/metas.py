@@ -35,7 +35,7 @@ def get_title(root: Node) -> str:
 
 
 def _meta_content(root: Node, name: str) -> str:
-    for m in root.iter("meta"):
+    for m in root.walk("meta"):
         if m.get("name").lower() == name or m.get("property").lower() == name:
             return m.get("content").strip()
     return ""
@@ -55,7 +55,7 @@ def get_meta_lang(root: Node) -> str:
     html = root.find_first("html")
     if html is not None and html.get("lang"):
         return html.get("lang")[:2].lower()
-    for m in root.iter("meta"):
+    for m in root.walk("meta"):
         if m.get("http-equiv").lower() == "content-language" and m.get("content"):
             return m.get("content")[:2].lower()
         if m.get("name").lower() == "lang" and m.get("content"):
@@ -64,7 +64,7 @@ def get_meta_lang(root: Node) -> str:
 
 
 def get_canonical_link(root: Node, page_url: str) -> str:
-    for l in root.iter("link"):
+    for l in root.walk("link"):
         if l.get("rel").lower() == "canonical" and l.get("href"):
             return canon_url(page_url, l.get("href"))
     return page_url

@@ -41,7 +41,7 @@ def _sibling_paragraphs(sib: Node, threshold: float, lang: str) -> list[Node]:
     if sib.tag == "p" and sib.text_content().strip():
         return [sib]
     out: list[Node] = []
-    for p in sib.iter("p"):
+    for p in sib.walk("p"):
         txt = p.text_content()
         if not txt.strip():
             continue
@@ -73,7 +73,7 @@ def _is_table_no_para(e: Node, lang: str) -> bool:
     """X6 helper (goose: is_table_and_no_para_exist): prune trivially-short
     <p> descendants (< 25 chars), then report true when no <p> survives and
     the element is not a td."""
-    for p in list(e.iter("p")):
+    for p in e.walk("p"):
         if p is e:
             continue
         if len(p.text_content()) < 25 and p.parent is not None:
@@ -110,7 +110,7 @@ def post_cleanup(top_node: Node, top_score: float, lang: str) -> Node:
 def remove_negativescore_nodes(top_node: Node) -> None:
     """X7 (goose: outputformatters.remove_negativescores_nodes): remove
     scored nodes with gravity_score < 1 (the top node itself excepted)."""
-    for n in list(top_node.iter()):
+    for n in top_node.walk():
         if n is top_node or n.parent is None:
             continue
         if n.gravity_nodes > 0 and n.gravity_score < 1:
@@ -123,7 +123,7 @@ _UNWRAP_TAGS = frozenset(["b", "strong", "i", "sup", "em"])
 def flatten_inline(top_node: Node) -> None:
     """X8 (goose: links_to_text + replace_with_text): <a> becomes its text;
     b/strong/i/sup/em unwrap; <br> becomes a single space."""
-    for n in list(top_node.iter("a")):
+    for n in top_node.walk("a"):
         if n.parent is None:
             continue
         txt = n.text_content()
@@ -136,10 +136,10 @@ def flatten_inline(top_node: Node) -> None:
             parent.children[i - 1].tail += txt + tail
         else:
             parent.text += txt + tail
-    for n in list(top_node.iter()):
+    for n in top_node.walk():
         if n.tag in _UNWRAP_TAGS and n.parent is not None:
             n.unwrap()
-    for n in list(top_node.iter("br")):
+    for n in top_node.walk("br"):
         if n.parent is None:
             continue
         i = n.parent.index(n)
@@ -157,7 +157,7 @@ def remove_fewwords_paragraphs(top_node: Node, lang: str) -> None:
     and except the top node itself) whose text has stopword_count < 3 and
     which contain no object/embed; walked in reverse document order so
     nested removals cascade outward."""
-    nodes = [n for n in top_node.iter() if n is not top_node]
+    nodes = [n for n in top_node.walk() if n is not top_node]
     for el in reversed(nodes):
         if el.tag == "br" or el.parent is None:
             continue

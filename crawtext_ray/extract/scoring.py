@@ -32,13 +32,13 @@ _GRANDPARENT_FACTOR = 0.5
 
 def nodes_to_check(root: Node) -> list[Node]:
     """X1: all p, pre, td in document order."""
-    return [n for n in root.iter() if n.tag in CANDIDATE_TAGS]
+    return [n for n in root.walk() if n.tag in CANDIDATE_TAGS]
 
 
 def is_high_link_density(node: Node) -> bool:
     """X2. Nodes with no links are never high density; link-only nodes
     (no words at all) are."""
-    links = [n for n in node.iter("a") if n is not node]
+    links = [n for n in node.walk("a") if n is not node]
     if not links:
         return False
     words = node.text_content().split()

@@ -65,7 +65,7 @@ def word_stats(text: str, lang: str = DEFAULT_LANGUAGE) -> WordStats:
 def stopword_count(text: str, lang: str = DEFAULT_LANGUAGE) -> int:
     toks = tokenize(text)
     sw = stopword_set(lang)
-    return sum(1 for t in toks if t in sw)
+    return sum(map(sw.__contains__, toks))
 
 
 @lru_cache(maxsize=4096)

@@ -1,0 +1,157 @@
+"""Differential tests: the fast DOM scanner must produce a tree identical
+(tags, attrs, text, tail, AND document-order ids — the X4 tie-break anchor)
+to the stdlib-HTMLParser build on every input, or bail to it."""
+
+import glob
+import random
+
+import pyarrow.parquet as pq
+import pytest
+
+from crawtext_ray.extract.dom import _Bail, _TreeBuilder, _fast_build, parse_html
+
+
+def _stdlib_tree(html: str):
+    b = _TreeBuilder()
+    b.feed(html)
+    b.close()
+    return b.root
+
+
+def _fast_tree(html: str):
+    """Fast scan only — raises _Bail instead of falling back."""
+    b = _TreeBuilder()
+    _fast_build(html, b)
+    return b.root
+
+
+def _digest(n, out):
+    out.append((n.tag, n.order, tuple(sorted(n.attrs.items())), n.text, n.tail))
+    for c in n.children:
+        _digest(c, out)
+
+
+def digest(root):
+    out = []
+    _digest(root, out)
+    return out
+
+
+def assert_same(html: str):
+    try:
+        ref = digest(_stdlib_tree(html))
+    except Exception:
+        # stdlib itself crashes on this input (e.g. '<![' junk hits a
+        # _markupbase AssertionError); the only contract is that
+        # parse_html stays lenient and returns a tree
+        parse_html(html)
+        return
+    try:
+        fast = digest(_fast_tree(html))
+    except _Bail:
+        # fallback path: parse_html must still equal stdlib
+        fast = digest(parse_html(html))
+    assert fast == ref, html[:200]
+
+
+EDGE_CASES = [
+    "",
+    "plain text only",
+    "a &amp; b &lt;c&gt; &#65; &#x42; &unknown; &amp no-semi",
+    "<p>one<p>two</p>",
+    "<div class='a b' id=x data-y=\"1\">t</div>",
+    "<a href='u?a=1&amp;b=2'>l</a>",
+    "<a href=bare>x</a><img src=x.png alt=>",
+    "<br/><hr /><img src='y'/>",
+    "<script>if (a < b && c > d) { x(); }</script>after",
+    "<script>no close tag at all",
+    "<style>p { color: red; } /* </weird */</style>ok",
+    "<SCRIPT>UPPER</SCRIPT><sCrIpT>x</ScRiPt>",
+    "<script src='x'></script>",
+    "<script/>not-cdata</script>",
+    "<!-- comment -->text<!-- multi\nline --\t>tail",
+    "<!DOCTYPE html><html><body>x</body></html>",
+    "<!doctype html public 'x'>y",
+    "<?php echo 1; ?>text<?pi>",
+    "<!weird decl>x",
+    "</>empty</ >spaced</div junk>after</123>num",
+    "< 5 is less<p>x</p>2 > 1",
+    "tail<",
+    "<p",
+    "<a href=",
+    "<a href='unterminated",
+    "<!-- unterminated",
+    "<![CDATA[raw]]>x",
+    "<a b c d>multi bare attrs</a>",
+    "<a b=1 b=2>dup attr</a>",
+    "<a B=1 CLASS=UP>case</a>",
+    "<e x=a\"b>quote in bare</e>",
+    "<a x=1/>selfclose-attr</a>",
+    "<a x=1 />selfclose-spaced",
+    "<a x = = 1>multi-eq</a>",
+    "<a x='&amp;&#65;'>entity in attr</a>",
+    "<p>été café 中文</p>",
+    "<td>1<td>2<tr><td>3",
+    "<ul><li>a<li>b</ul>",
+    "<div><p>inner<div>closes p</div></div>",
+    "<a <b>>x",
+    "<p>a<0>b</p>",
+    "<p>end with amp &",
+    "&#9731; &#xFF; &#999999999;",
+    "<p title='a>b'>gt in quoted attr</p>",
+    "<a href=\"x\" 'bogus'>y</a>",
+]
+
+
+@pytest.mark.parametrize("case", range(len(EDGE_CASES)))
+def test_fast_dom_edge_cases(case):
+    assert_same(EDGE_CASES[case])
+
+
+def test_fast_dom_golden_corpus():
+    """Every golden input parses identically (and via the fast path)."""
+    paths = sorted(glob.glob("tests/golden/*/input.html"))
+    assert len(paths) >= 100
+    bails = 0
+    for p in paths:
+        raw = open(p, "rb").read()
+        try:
+            html = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            html = raw.decode("latin-1")
+        try:
+            fast = digest(_fast_tree(html))
+        except _Bail:
+            bails += 1
+            fast = digest(parse_html(html))
+        assert fast == digest(_stdlib_tree(html)), p
+    # the fast path must actually cover the corpus, not bail through it
+    assert bails <= len(paths) // 20, bails
+
+
+def test_fast_dom_fixture_pages(pages_small):
+    """All 1000 synthetic CC-style pages: identical trees, ~no bails."""
+    t = pq.read_table(pages_small, columns=["html"])
+    bails = 0
+    for buf in t["html"].to_pylist():
+        html = buf.decode("utf-8", errors="replace")
+        try:
+            fast = digest(_fast_tree(html))
+        except _Bail:
+            bails += 1
+            fast = digest(parse_html(html))
+        assert fast == digest(_stdlib_tree(html))
+    assert bails <= 10, bails
+
+
+def test_fast_dom_fuzz():
+    """Seeded random soup of the tokens that exercise tokenizer branches."""
+    rng = random.Random(42)
+    atoms = [
+        "<", ">", "&", ";", "'", '"', "/", "=", "!", "-", "?", " ", "\n",
+        "p", "div", "a", "script", "style", "amp", "x1", "--", "<!--",
+        "-->", "</", "/>", "<![", "text ", "&amp;", "&#65;", "é",
+    ]
+    for _ in range(400):
+        html = "".join(rng.choice(atoms) for _ in range(rng.randint(1, 60)))
+        assert_same(html)
