@@ -634,10 +634,14 @@ class _SimHash:
                 th = np.concatenate(chunk)
                 counts = np.array([a.size for a in chunk], dtype=np.int64)
                 offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
-                bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
-                    np.int64
-                )
-                cnt = np.add.reduceat(bits, offs, axis=0)  # (docs, 64)
+                # composed in one preallocated (tokens, 64) buffer — the
+                # expression form allocated three ~67 MB temporaries per
+                # chunk; the int64 cast moves to the small (docs, 64)
+                # post-reduceat array (0/1 sums fit uint64 exactly)
+                bits = np.empty((th.size, 64), np.uint64)
+                np.right_shift(th[:, None], shifts[None, :], out=bits)
+                np.bitwise_and(bits, np.uint64(1), out=bits)
+                cnt = np.add.reduceat(bits, offs, axis=0).astype(np.int64)
                 v = 2 * cnt - counts[:, None]  # sum of (2b-1) per bit
                 packed = np.bitwise_or.reduce(
                     (v > 0).astype(np.uint64) << shifts[None, :], axis=1
