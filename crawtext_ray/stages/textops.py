@@ -201,3 +201,121 @@ def relevance_filter(ds, expression: str, text_col: str = "text",
     from .fusion import map_stage
 
     return map_stage(ds, Match)
+
+
+def benchmark_ngram_hashes(texts, n: int = 8):
+    """Sorted unique uint64 hashes of a benchmark/eval set's word
+    n-grams, using the exact shingle scheme of the dedup stages
+    (dedup._shingle_array: [a-z0-9]+ tokens, cached md5 token hashes,
+    polynomial rolling combine). Texts shorter than ``n`` tokens
+    contribute their whole-text gram, matching the shingler."""
+    import numpy as np
+
+    from .dedup import _shingle_array
+
+    parts = [_shingle_array((t or ""), n) for t in texts]
+    parts = [p for p in parts if p.size]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+def contamination_flags(docs, benchmark, n: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Benchmark decontamination (standard LLM-training-data step): flag
+    documents that share at least one word ``n``-gram with an eval/
+    benchmark set, so they can be dropped before training.
+
+    Scale shape: the benchmark side is SMALL by construction (eval sets
+    are thousands of documents, not corpora), so its n-gram hash set is
+    broadcast ONCE via ``ray.put`` and probed inside ``map_batches``
+    with a vectorized ``np.isin`` per document — no shuffle, no join;
+    the corpus streams. Hash collisions can over-flag at ~2^-64 per
+    probe (the safe direction for decontamination: a collision drops a
+    training doc, never keeps a contaminated one). Differential test vs
+    a hash-free string-set oracle: tests/test_training_data.py.
+
+    ``benchmark``: list[str], or a Dataset carrying ``text_col``.
+    Returns (id, n_hits:int64, contaminated:bool) — one row per doc.
+    """
+    import numpy as np
+    import ray
+
+    if hasattr(benchmark, "iter_batches"):  # Dataset small side
+        texts = []
+        for b in benchmark.select_columns([text_col]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            texts.extend(b[text_col].to_pylist())
+    else:
+        texts = list(benchmark)
+    bench = benchmark_ngram_hashes(texts, n)
+    ref = ray.put(bench)
+
+    from .dedup import _shingle_array
+    from .fusion import map_stage
+
+    def factory():
+        bset = ray.get(ref)  # once per worker process
+
+        def stage(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col]
+            hits = np.zeros(batch.num_rows, dtype=np.int64)
+            if bset.size:
+                for i, t in enumerate(batch[text_col].to_pylist()):
+                    sh = _shingle_array(t or "", n)
+                    if sh.size:
+                        hits[i] = int(
+                            np.isin(sh, bset, assume_unique=True).sum()
+                        )
+            return pa.table(
+                {
+                    id_col: ids,
+                    "n_hits": pa.array(hits, pa.int64()),
+                    "contaminated": pa.array(hits > 0, pa.bool_()),
+                }
+            )
+
+        return stage
+
+    return map_stage(docs.select_columns([id_col, text_col]), factory)
+
+
+def decontaminate(docs, benchmark, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Drop contaminated documents: ``contamination_flags`` folded into a
+    per-batch mask (single pass, no second scan — the flags stage and
+    the filter fuse into the same streaming map)."""
+    import numpy as np
+    import ray
+
+    if hasattr(benchmark, "iter_batches"):
+        texts = []
+        for b in benchmark.select_columns([text_col]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            texts.extend(b[text_col].to_pylist())
+    else:
+        texts = list(benchmark)
+    bench = benchmark_ngram_hashes(texts, n)
+    ref = ray.put(bench)
+
+    from .dedup import _shingle_array
+    from .fusion import map_stage
+
+    def factory():
+        bset = ray.get(ref)
+
+        def stage(batch: pa.Table) -> pa.Table:
+            if not bset.size or batch.num_rows == 0:
+                return batch
+            keep = np.ones(batch.num_rows, dtype=bool)
+            for i, t in enumerate(batch[text_col].to_pylist()):
+                sh = _shingle_array(t or "", n)
+                if sh.size and np.isin(sh, bset, assume_unique=True).any():
+                    keep[i] = False
+            return batch.filter(pa.array(keep))
+
+        return stage
+
+    return map_stage(docs, factory)

@@ -113,3 +113,75 @@ def test_seed_file_reader(ray_session, tmp_path):
     rows = sorted(r["url"] for r in ds.take_all())
     assert rows == ["http://a.example/x", "http://b.example/y"]
     assert all(r["depth"] == 0 for r in ds.take_all())
+
+
+def test_contamination_flags_vs_string_oracle(ray_session):
+    """Decontamination differential: hashed n-gram probe must equal a
+    hash-free string-set oracle (token windows as tuples) on real docs
+    with planted benchmark overlap."""
+    import re
+
+    import ray.data as rd
+
+    from crawtext_ray.stages.textops import contamination_flags, decontaminate
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    rows = docs.take_all()
+    texts = {r["doc_id"]: r["text"] or "" for r in rows}
+    tok = re.compile(r"[a-z0-9]+")
+    N = 8
+
+    def grams(t):
+        toks = tok.findall(t.lower())
+        if not toks:
+            return set()
+        if len(toks) < N:
+            return {tuple(toks)}
+        return {tuple(toks[i : i + N]) for i in range(len(toks) - N + 1)}
+
+    # benchmark: verbatim slices of three docs + novel text with no overlap
+    src = sorted(texts)[:3]
+    benchmark = [texts[d][:200] for d in src] + [
+        "zebra quantum flotilla xylophone governs amethyst harbors nothing",
+    ]
+    bench_grams = set().union(*(grams(b) for b in benchmark))
+    expected = {d: len(grams(t) & bench_grams) > 0 for d, t in texts.items()}
+    assert sum(expected.values()) >= 1  # planted overlap exists
+
+    flags = {
+        r["doc_id"]: (r["contaminated"], r["n_hits"])
+        for r in contamination_flags(docs, benchmark, n=N).take_all()
+    }
+    assert set(flags) == set(texts)
+    for d, (c, hits) in flags.items():
+        assert c == expected[d], d
+        assert (hits > 0) == expected[d], d
+
+    kept = {
+        r["doc_id"]
+        for r in decontaminate(docs, benchmark, n=N).take_all()
+    }
+    assert kept == {d for d, c in expected.items() if not c}
+
+
+def test_contamination_empty_and_dataset_benchmark(ray_session):
+    """Edge: empty benchmark flags nothing; Dataset-typed benchmark side
+    behaves like the list form."""
+    import ray.data as rd
+
+    from crawtext_ray.stages.textops import contamination_flags
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).limit(50)
+    out = contamination_flags(docs, [], n=8).take_all()
+    assert len(out) == 50 and not any(r["contaminated"] for r in out)
+
+    bench_ds = docs.limit(2)
+    out2 = {r["doc_id"]: r["contaminated"]
+            for r in contamination_flags(docs, bench_ds, n=8).take_all()}
+    rows = docs.take_all()
+    first_two = {rows[0]["doc_id"], rows[1]["doc_id"]}
+    assert all(out2[d] for d in first_two)
