@@ -155,3 +155,23 @@ def test_fast_dom_fuzz():
     for _ in range(400):
         html = "".join(rng.choice(atoms) for _ in range(rng.randint(1, 60)))
         assert_same(html)
+
+
+def test_walk_and_text_content_match_lazy_forms():
+    """walk(tag) == list(iter(tag)) and text_content == joined itertext
+    on trees built from the fuzz corpus (the materialized forms are used
+    on every hot path; the lazy generators are the semantic reference)."""
+    rng = random.Random(7)
+    atoms = [
+        "<p>", "</p>", "<div class=x>", "</div>", "<em>", "</em>",
+        "text ", "más ", "<!--c-->", "<br>", "<li>a", "<span id=s>",
+        "</span>", "&amp; ", "<td>1", "<b>", "</b>",
+    ]
+    for _ in range(200):
+        html = "".join(rng.choice(atoms) for _ in range(rng.randint(1, 40)))
+        root = parse_html(html)
+        assert root.walk() == list(root.iter())
+        for tag in ("p", "div", "span", "em"):
+            assert root.walk(tag) == list(root.iter(tag))
+        for n in root.walk():
+            assert n.text_content() == "".join(n.itertext())
