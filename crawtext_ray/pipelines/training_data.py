@@ -245,11 +245,17 @@ def curate(
     concurrency="tasks",
     min_words: int = 20,
     verify_dups: float | None = None,
+    benchmark=None,
+    benchmark_ngram: int = 8,
 ):
     """Full curation chain; returns the curated articles Dataset (written
     to ``out_dir`` when given). ``verify_dups``: exact-Jaccard threshold
     for verifying LSH near-dup candidates before dropping (None = drop
-    all candidates)."""
+    all candidates). ``benchmark``: optional eval-set texts (list[str] or
+    a Dataset with a ``text`` column) — documents sharing any
+    ``benchmark_ngram``-gram with it are dropped (decontamination)
+    between the quality gate and dedup, while the corpus is smallest
+    upstream of the shuffle-bearing stages."""
     arts = build_articles(
         pages_path,
         query_expression=query_expression,
@@ -270,6 +276,11 @@ def curate(
     # gated corpus through the object store); without one (interactive /
     # small runs) it stays an object-store materialize.
     gate = quality_gate(ok, min_words=min_words)
+    if benchmark is not None:
+        from ..stages.textops import decontaminate
+
+        gate = decontaminate(gate, benchmark, n=benchmark_ngram,
+                             text_col="extracted_text")
     ckpt_dir = None
     if out_dir:
         import ray.data as rd

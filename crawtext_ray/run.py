@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
                          "gate + exact & near dedup) instead of the raw "
                          "extract job")
     ap.add_argument("--min-words", type=int, default=20)
+    ap.add_argument("--decontaminate-from", default=None,
+                    help="path to an eval/benchmark set (parquet with a "
+                         "text column, or plain text: one document per "
+                         "line); --curate drops articles sharing any "
+                         "8-gram with it")
     ap.add_argument("--verify-dups", type=float, default=None,
                     help="exact-Jaccard threshold for verifying near-dup "
                          "candidates before dropping them in --curate "
@@ -82,6 +87,22 @@ def main(argv: list[str] | None = None) -> int:
         if args.curate:
             from crawtext_ray.pipelines.training_data import curate
 
+            benchmark = None
+            if args.decontaminate_from:
+                p = args.decontaminate_from
+                if p.endswith(".parquet") or any(
+                    f.endswith(".parquet")
+                    for f in (os.listdir(p) if os.path.isdir(p) else [])
+                ):
+                    import ray.data as rd
+
+                    benchmark = rd.read_parquet(
+                        p, file_extensions=["parquet"]
+                    )
+                else:
+                    with open(p) as f:
+                        benchmark = [ln for ln in f.read().splitlines() if ln]
+
             # task-fused stages throughout: no pool sizing, no
             # multi-pool starvation (stages share the CPU pool naturally)
             curated = curate(
@@ -93,6 +114,7 @@ def main(argv: list[str] | None = None) -> int:
                 concurrency="tasks",
                 min_words=args.min_words,
                 verify_dups=args.verify_dups,
+                benchmark=benchmark,
             )
             print(json.dumps({"out_dir": args.out, "rows": curated.count()}))
         else:

@@ -220,6 +220,21 @@ def benchmark_ngram_hashes(texts, n: int = 8):
     return np.unique(np.concatenate(parts))
 
 
+def _benchmark_texts(benchmark, text_col: str) -> list:
+    """Collect the small benchmark side as a list of texts. Dataset form:
+    read ``text_col`` if present, else its single string column."""
+    if not hasattr(benchmark, "iter_batches"):
+        return list(benchmark)
+    cols = benchmark.schema().names
+    col = text_col if text_col in cols else "text"
+    texts = []
+    for b in benchmark.select_columns([col]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        texts.extend(b[col].to_pylist())
+    return texts
+
+
 def contamination_flags(docs, benchmark, n: int = 8,
                         text_col: str = "text", id_col: str = "doc_id"):
     """Benchmark decontamination (standard LLM-training-data step): flag
@@ -241,14 +256,7 @@ def contamination_flags(docs, benchmark, n: int = 8,
     import numpy as np
     import ray
 
-    if hasattr(benchmark, "iter_batches"):  # Dataset small side
-        texts = []
-        for b in benchmark.select_columns([text_col]).iter_batches(
-            batch_format="pyarrow"
-        ):
-            texts.extend(b[text_col].to_pylist())
-    else:
-        texts = list(benchmark)
+    texts = _benchmark_texts(benchmark, text_col)
     bench = benchmark_ngram_hashes(texts, n)
     ref = ray.put(bench)
 
@@ -281,22 +289,14 @@ def contamination_flags(docs, benchmark, n: int = 8,
     return map_stage(docs.select_columns([id_col, text_col]), factory)
 
 
-def decontaminate(docs, benchmark, n: int = 8,
-                  text_col: str = "text", id_col: str = "doc_id"):
+def decontaminate(docs, benchmark, n: int = 8, text_col: str = "text"):
     """Drop contaminated documents: ``contamination_flags`` folded into a
     per-batch mask (single pass, no second scan — the flags stage and
     the filter fuse into the same streaming map)."""
     import numpy as np
     import ray
 
-    if hasattr(benchmark, "iter_batches"):
-        texts = []
-        for b in benchmark.select_columns([text_col]).iter_batches(
-            batch_format="pyarrow"
-        ):
-            texts.extend(b[text_col].to_pylist())
-    else:
-        texts = list(benchmark)
+    texts = _benchmark_texts(benchmark, text_col)
     bench = benchmark_ngram_hashes(texts, n)
     ref = ray.put(bench)
 

@@ -185,3 +185,27 @@ def test_contamination_empty_and_dataset_benchmark(ray_session):
     rows = docs.take_all()
     first_two = {rows[0]["doc_id"], rows[1]["doc_id"]}
     assert all(out2[d] for d in first_two)
+
+
+def test_curate_with_benchmark_decontamination(ray_session, pages_small, tmp_path):
+    """curate(benchmark=...) drops exactly the articles overlapping the
+    eval set, end to end through the audited sink."""
+    import ray.data as rd
+
+    from crawtext_ray.pipelines.training_data import curate
+
+    base = curate(pages_small, out_dir=str(tmp_path / "base"),
+                  num_partitions=4, min_words=10)
+    rows = base.take_all()
+    assert rows
+    victim = max(rows, key=lambda r: len(r["extracted_text"] or ""))
+    bench = [victim["extracted_text"][:400]]
+
+    out = curate(pages_small, out_dir=str(tmp_path / "deco"),
+                 num_partitions=4, min_words=10, benchmark=bench)
+    kept_urls = {r["url"] for r in out.take_all()}
+    assert victim["url"] not in kept_urls
+    # only overlap-sharing articles dropped (the planted slice is from
+    # one article; clones of it may legitimately share 8-grams)
+    dropped = {r["url"] for r in rows} - kept_urls
+    assert dropped and len(dropped) <= max(3, len(rows) // 10)
