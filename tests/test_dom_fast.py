@@ -175,3 +175,31 @@ def test_walk_and_text_content_match_lazy_forms():
             assert root.walk(tag) == list(root.iter(tag))
         for n in root.walk():
             assert n.text_content() == "".join(n.itertext())
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except Exception:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+
+    @settings(max_examples=300, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        st.lists(
+            st.sampled_from(
+                list("<>&;/='\"!?- \npa1#.éx")
+                + ["script", "style", "--", "<p", "</", "<!", "&#6", "amp"]
+            ),
+            min_size=0,
+            max_size=60,
+        ).map("".join)
+    )
+    def test_fast_dom_hypothesis_differential(html):
+        """Hypothesis-driven tree-identity differential vs stdlib."""
+        assert_same(html)
