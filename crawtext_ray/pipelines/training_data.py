@@ -147,7 +147,50 @@ def drop_exact_dups(articles, loser_broadcast_cap: int = 5_000_000):
             )
         return g.slice(1).select(["url", "warc_ts"])  # all but the winner
 
-    losers = keys.groupby("content_sha256").map_groups(
+    # per-GROUP Python calls are the expensive part of map_groups
+    # (~10 s per 150k groups measured), and with mostly-unique content
+    # the group count ≈ the corpus size — so first find the hashes that
+    # actually duplicate with ONE hash aggregate (fixed ~2.5 s cost),
+    # then run the loser-picking pass over only those groups (the dup
+    # fraction). Falls back to the full groupby when the dup-hash set
+    # exceeds the broadcast cap (same threshold shape as the anti-join).
+    import ray
+
+    counts = keys.groupby("content_sha256").count()
+    dup_hash_ds = counts.map_batches(
+        lambda t: t.filter(
+            pc.greater(t["count()"], 1)
+        ).select(["content_sha256"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    n_dup_hashes = dup_hash_ds.count()
+    if n_dup_hashes == 0:
+        return articles
+    if n_dup_hashes <= loser_broadcast_cap:
+        hash_chunks = []
+        for b in dup_hash_ds.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                hash_chunks.append(b["content_sha256"].combine_chunks())
+        dup_hashes = pa.concat_arrays(hash_chunks)
+        href = ray.put(dup_hashes)
+
+        class OnlyDupGroups:
+            def __init__(self):
+                self.value_set = ray.get(href)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                return batch.filter(
+                    pc.is_in(batch["content_sha256"],
+                             value_set=self.value_set)
+                )
+
+        from ..stages.fusion import map_stage
+
+        dup_keys = map_stage(keys, OnlyDupGroups)
+    else:
+        dup_keys = keys  # cap exceeded: pay the full groupby
+    losers = dup_keys.groupby("content_sha256").map_groups(
         losers_of, batch_format="pyarrow"
     ).materialize()
     n_losers = losers.count()

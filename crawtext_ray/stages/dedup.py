@@ -93,10 +93,19 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         fn_kwargs={"text_col": text_col},
     ).select_columns(["content_hash", id_col])
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="stable").head(1)[[id_col]]
+    # keep-the-smallest-id is a Min AGGREGATE, not a per-group Python
+    # pass: groupby().map_groups pays a Python call per GROUP (~10 s per
+    # 150k groups measured) and with mostly-unique content the group
+    # count ≈ the corpus size; the hash aggregate is a fixed ~2.5 s at
+    # the same scale. Output identical: min(id) == stable-sort head(1).
+    from ray.data.aggregate import Min
 
-    return hashed.groupby("content_hash").map_groups(pick, batch_format="pandas")
+    agg = hashed.groupby("content_hash").aggregate(Min(id_col))
+    return agg.map_batches(
+        lambda t: t.select([f"min({id_col})"]).rename_columns([id_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 # ----------------------------------------------------- minhash + LSH ----
