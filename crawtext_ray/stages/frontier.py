@@ -33,23 +33,28 @@ def anti_join_broadcast(ds, seen_keys, key: str = "url"):
 def anti_join_grouped(new_ds, seen_ds, key: str = "url"):
     """Keys of ``new_ds`` not present in ``seen_ds``; both sides large.
     union with a side flag -> groupby(key) -> keep flagless groups."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
     flag_new = new_ds.map_batches(
-        lambda t: t.append_column("__seen", pa.array([False] * t.num_rows)),
+        lambda t: t.append_column("__seen", pa.array([0] * t.num_rows, pa.int8())),
         batch_format="pyarrow", zero_copy_batch=True,
     )
     flag_seen = seen_ds.map_batches(
-        lambda t: t.append_column("__seen", pa.array([True] * t.num_rows)),
+        lambda t: t.append_column("__seen", pa.array([1] * t.num_rows, pa.int8())),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-
-    def keep_unseen(g: pd.DataFrame) -> pd.DataFrame:
-        if g["__seen"].any():
-            return g.iloc[0:0].drop(columns="__seen")
-        return g.drop(columns="__seen").head(1)
-
-    return flag_new.select_columns([key, "__seen"]).union(
+    # "keep groups with no seen flag, one row each" is a Max AGGREGATE
+    # (max flag 0 == never seen), not a per-group Python pass — the
+    # group count here is the url cardinality, i.e. the corpus
+    agg = flag_new.select_columns([key, "__seen"]).union(
         flag_seen.select_columns([key, "__seen"])
-    ).groupby(key).map_groups(keep_unseen, batch_format="pandas")
+    ).groupby(key).aggregate(Max("__seen"))
+    return agg.map_batches(
+        lambda t: t.filter(pc.equal(t["max(__seen)"], 0)).select([key]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def outlinks_frontier(articles, depth: int):
