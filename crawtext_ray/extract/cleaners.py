@@ -184,7 +184,8 @@ def remove_unwanted(root: Node, rules=None) -> None:
         if tag in ("html", "body", "#document"):
             continue
         if hide and not tag.startswith("#"):
-            if any(h.matches(n) for h in hide) and not any(
+            cands = rules.hide_candidates(n)
+            if cands and any(h.matches(n) for h in cands) and not any(
                 h.matches(n) for h in hide_exc
             ):
                 if n.parent is not None:
