@@ -144,20 +144,26 @@ class AdblockRules:
 
     def hide_candidates(self, node: "Node") -> list[HideRule]:
         """Hide rules that could possibly match ``node`` (superset filter;
-        callers still run ``matches`` on each)."""
-        cands = list(self._hide_plain)
-        if self._hide_by_cls:
+        callers only iterate the result — never mutate — so the shared
+        ``_hide_plain`` list is returned as-is when no class/id bucket
+        hits, avoiding a per-node allocation on the hot cleaner walks."""
+        cands = None
+        if self._hide_by_cls and node.attrs:
             for c in node.classes():
                 hit = self._hide_by_cls.get(c)
                 if hit:
+                    if cands is None:
+                        cands = list(self._hide_plain)
                     cands.extend(hit)
         if self._hide_by_id:
             nid = node.get("id")
             if nid:
                 hit = self._hide_by_id.get(nid)
                 if hit:
+                    if cands is None:
+                        cands = list(self._hide_plain)
                     cands.extend(hit)
-        return cands
+        return self._hide_plain if cands is None else cands
 
     def _add_line(self, raw: str) -> None:
         line = raw.strip()

@@ -17,14 +17,24 @@ from __future__ import annotations
 
 import re
 from html import unescape as _unescape
-from html.parser import (
-    HTMLParser,
-    attrfind_tolerant as _attrfind,
-    commentclose as _commentclose,
-    endtagfind as _endtagfind,
-    tagfind_tolerant as _tagfind,
-)
+from html.parser import HTMLParser
 from typing import Iterator
+
+try:
+    # private stdlib regexes, reused so the fast scanner's accept
+    # semantics match HTMLParser by construction; no compatibility
+    # guarantee, so a rename in a future CPython must degrade to the
+    # stdlib-parser speed, not to an ImportError for the whole module
+    from html.parser import (
+        attrfind_tolerant as _attrfind,
+        commentclose as _commentclose,
+        endtagfind as _endtagfind,
+        tagfind_tolerant as _tagfind,
+    )
+
+    _HAVE_FAST = True
+except ImportError:  # pragma: no cover - future-python guard
+    _HAVE_FAST = False
 
 COMMENT = "#comment"
 
@@ -472,6 +482,8 @@ def parse_html(html: str) -> Node:
     (lenient by construction) on constructs it does not replicate."""
     b = _TreeBuilder()
     try:
+        if not _HAVE_FAST:
+            raise _Bail
         _fast_build(html, b)
         return b.root
     except _Bail:

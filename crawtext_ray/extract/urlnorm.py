@@ -128,11 +128,15 @@ def _simple_http_host(url: str) -> str | None:
         if j != -1 and j < end:
             end = j
     netloc = url[i:end]
+    if "[" in netloc or "]" in netloc:
+        # IPv6 (or brackets anywhere in the authority, incl. userinfo):
+        # urlsplit validates bracket placement and may raise — defer,
+        # BEFORE stripping userinfo, so "http://a]b@host/" stays on the
+        # slow path and keeps domain_of's "" contract
+        return None
     at = netloc.rfind("@")
     if at != -1:
         netloc = netloc[at + 1:]
-    if "[" in netloc or "]" in netloc:
-        return None  # IPv6: urlsplit validates bracket placement
     colon = netloc.find(":")
     if colon != -1:
         netloc = netloc[:colon]

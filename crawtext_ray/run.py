@@ -89,16 +89,30 @@ def main(argv: list[str] | None = None) -> int:
 
             benchmark = None
             if args.decontaminate_from:
+                import glob as _glob
+
                 p = args.decontaminate_from
-                if p.endswith(".parquet") or any(
-                    f.endswith(".parquet")
-                    for f in (os.listdir(p) if os.path.isdir(p) else [])
-                ):
+                if os.path.isdir(p):
+                    # accept nested layouts (train/, test/ subdirs)
+                    pq_files = sorted(_glob.glob(
+                        os.path.join(p, "**", "*.parquet"), recursive=True
+                    ))
+                    if not pq_files:
+                        print(
+                            f"--decontaminate-from: no *.parquet under "
+                            f"{p!r} (a directory must hold the eval set "
+                            "as parquet; for plain text pass a file, "
+                            "one document per line)",
+                            file=sys.stderr,
+                        )
+                        raise SystemExit(2)
                     import ray.data as rd
 
-                    benchmark = rd.read_parquet(
-                        p, file_extensions=["parquet"]
-                    )
+                    benchmark = rd.read_parquet(pq_files)
+                elif p.endswith(".parquet"):
+                    import ray.data as rd
+
+                    benchmark = rd.read_parquet(p)
                 else:
                     with open(p) as f:
                         benchmark = [ln for ln in f.read().splitlines() if ln]

@@ -17,7 +17,6 @@ J1 (seen-url anti-join) has two forms:
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 import ray
 
@@ -146,10 +145,11 @@ def bfs_crawl(pages_ds, seed_urls: list[str], max_depth: int = 2,
 
             subset = map_stage(pages_ds, InFrontier)
         else:
-            # arrow-normalize + coalesce: anti_join_grouped emits pandas
-            # blocks, including zero-row schema-less ones that make the
-            # downstream hash join fail to resolve its key field; the
-            # repartition rebuilds clean uniform blocks
+            # arrow-normalize + coalesce: anti_join_grouped ends in a
+            # hash AGGREGATE, and a join whose right side's lineage
+            # contains one misplans (observed on Ray 2.49) — the opaque
+            # map_batches + repartition + materialize rebuilds clean
+            # uniform blocks the join planner resolves correctly
             frontier_ds = (
                 anti_join_grouped(frontier_ds, seen_ds)
                 .map_batches(lambda t: t, batch_format="pyarrow",

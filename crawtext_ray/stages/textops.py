@@ -222,17 +222,64 @@ def benchmark_ngram_hashes(texts, n: int = 8):
 
 def _benchmark_texts(benchmark, text_col: str) -> list:
     """Collect the small benchmark side as a list of texts. Dataset form:
-    read ``text_col`` if present, else its single string column."""
+    read ``text_col`` if present, else the Dataset's single string
+    column (erroring clearly when that is ambiguous)."""
     if not hasattr(benchmark, "iter_batches"):
         return list(benchmark)
-    cols = benchmark.schema().names
-    col = text_col if text_col in cols else "text"
+    schema = benchmark.schema()
+    if text_col in schema.names:
+        col = text_col
+    elif "text" in schema.names:
+        col = "text"
+    else:
+        str_cols = [
+            nm for nm, t in zip(schema.names, schema.types)
+            if pa.types.is_string(t) or pa.types.is_large_string(t)
+        ]
+        if len(str_cols) != 1:
+            raise ValueError(
+                f"benchmark Dataset has no {text_col!r} or 'text' column "
+                f"and {len(str_cols)} string columns {str_cols} — pass "
+                "one with a single text column or the right text_col"
+            )
+        col = str_cols[0]
     texts = []
     for b in benchmark.select_columns([col]).iter_batches(
         batch_format="pyarrow"
     ):
         texts.extend(b[col].to_pylist())
     return texts
+
+
+def _contamination_hits_factory(benchmark, n: int, text_col: str):
+    """Shared scaffolding for the decontamination stages: collect the
+    small benchmark side, hash its n-grams, broadcast once via
+    ``ray.put``, and return a factory whose product maps a batch to a
+    per-row hit-count array (empty-benchmark → None sentinel)."""
+    import numpy as np
+    import ray
+
+    bench = benchmark_ngram_hashes(_benchmark_texts(benchmark, text_col), n)
+    ref = ray.put(bench)
+
+    from .dedup import _shingle_array
+
+    def factory():
+        bset = ray.get(ref)  # once per worker process
+
+        def hits_of(batch: pa.Table):
+            if not bset.size:
+                return None
+            hits = np.zeros(batch.num_rows, dtype=np.int64)
+            for i, t in enumerate(batch[text_col].to_pylist()):
+                sh = _shingle_array(t or "", n)
+                if sh.size:
+                    hits[i] = int(np.isin(sh, bset, assume_unique=True).sum())
+            return hits
+
+        return hits_of
+
+    return factory
 
 
 def contamination_flags(docs, benchmark, n: int = 8,
@@ -254,31 +301,21 @@ def contamination_flags(docs, benchmark, n: int = 8,
     Returns (id, n_hits:int64, contaminated:bool) — one row per doc.
     """
     import numpy as np
-    import ray
 
-    texts = _benchmark_texts(benchmark, text_col)
-    bench = benchmark_ngram_hashes(texts, n)
-    ref = ray.put(bench)
-
-    from .dedup import _shingle_array
     from .fusion import map_stage
 
+    hits_factory = _contamination_hits_factory(benchmark, n, text_col)
+
     def factory():
-        bset = ray.get(ref)  # once per worker process
+        hits_of = hits_factory()
 
         def stage(batch: pa.Table) -> pa.Table:
-            ids = batch[id_col]
-            hits = np.zeros(batch.num_rows, dtype=np.int64)
-            if bset.size:
-                for i, t in enumerate(batch[text_col].to_pylist()):
-                    sh = _shingle_array(t or "", n)
-                    if sh.size:
-                        hits[i] = int(
-                            np.isin(sh, bset, assume_unique=True).sum()
-                        )
+            hits = hits_of(batch)
+            if hits is None:
+                hits = np.zeros(batch.num_rows, dtype=np.int64)
             return pa.table(
                 {
-                    id_col: ids,
+                    id_col: batch[id_col],
                     "n_hits": pa.array(hits, pa.int64()),
                     "contaminated": pa.array(hits > 0, pa.bool_()),
                 }
@@ -293,28 +330,18 @@ def decontaminate(docs, benchmark, n: int = 8, text_col: str = "text"):
     """Drop contaminated documents: ``contamination_flags`` folded into a
     per-batch mask (single pass, no second scan — the flags stage and
     the filter fuse into the same streaming map)."""
-    import numpy as np
-    import ray
-
-    texts = _benchmark_texts(benchmark, text_col)
-    bench = benchmark_ngram_hashes(texts, n)
-    ref = ray.put(bench)
-
-    from .dedup import _shingle_array
     from .fusion import map_stage
 
+    hits_factory = _contamination_hits_factory(benchmark, n, text_col)
+
     def factory():
-        bset = ray.get(ref)
+        hits_of = hits_factory()
 
         def stage(batch: pa.Table) -> pa.Table:
-            if not bset.size or batch.num_rows == 0:
+            hits = hits_of(batch)
+            if hits is None or batch.num_rows == 0:
                 return batch
-            keep = np.ones(batch.num_rows, dtype=bool)
-            for i, t in enumerate(batch[text_col].to_pylist()):
-                sh = _shingle_array(t or "", n)
-                if sh.size and np.isin(sh, bset, assume_unique=True).any():
-                    keep[i] = False
-            return batch.filter(pa.array(keep))
+            return batch.filter(pa.array(hits == 0))
 
         return stage
 

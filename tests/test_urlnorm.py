@@ -155,8 +155,13 @@ def test_simple_http_host_differential():
     for u in [
         "HTTP://a.com/x", "ftp://a.com/x", "http://[::1]/x",
         "http://[::1]:8080/x", "http://a\t.com/x", "rel/x", "",
+        "http://a]b@evil.com/x",   # bracket in USERINFO: urlsplit raises
+        "http://a[b@evil.com/x",
     ]:
         assert _simple_http_host(u) is None, u
+    # and domain_of keeps its "" contract on those (urlsplit ValueError)
+    from crawtext_ray.extract.urlnorm import domain_of
+    assert domain_of("http://a]b@evil.com/x") == ""
 
 
 def test_should_block_memo():
