@@ -350,130 +350,210 @@ def _fast_build(html: str, b: _TreeBuilder) -> None:
     rare constructs it does not cover (junk inside a start tag, EOF
     inside markup, marked sections) and the caller falls back to stdlib
     for that document. Differential tree-identity tests: test_dom.py."""
-    handle_data = b.handle_data
-    handle_starttag = b.handle_starttag
-    handle_endtag = b.handle_endtag
-    handle_comment = b.handle_comment
+    # The _TreeBuilder handler bodies are INLINED here (text append,
+    # implicit-close, node creation, stray-end-tag pop) — one method
+    # dispatch per markup event was ~10% of parse time. The stdlib
+    # fallback path still exercises the originals, and the differential
+    # tree-identity suite pins the two paths to each other.
+    stack = b.stack  # shared list: builder state IS the scanner state
+    order = b._order
     find = html.find
     i, n = 0, len(html)
     cdata: str | None = None
-    while i < n:
-        if cdata is not None:
-            m = _CDATA_CLOSE[cdata].search(html, i)
-            if m is None:
-                return  # unterminated script/style swallows to EOF
-            if i < m.start():
-                handle_data(html[i : m.start()])  # raw: no charrefs in cdata
-            handle_endtag(cdata)
-            cdata = None
-            i = m.end()
-            continue
-        j = find("<", i)
-        if j < 0:
-            handle_data(_unescape(html[i:]))
-            return
-        if i < j:
-            handle_data(_unescape(html[i:j]))
-        i = j
-        c = html[i + 1] if i + 1 < n else ""
-        if ("a" <= c <= "z") or ("A" <= c <= "Z"):
-            m = _SIMPLE_START.match(html, i + 1)
-            if m is not None:  # <p>, <div>, <b> ... the hot shape
-                tag = m.group(1).lower()
-                handle_starttag(tag, [])
-                if tag in ("script", "style"):
-                    cdata = tag
+    try:
+        while i < n:
+            if cdata is not None:
+                m = _CDATA_CLOSE[cdata].search(html, i)
+                if m is None:
+                    return  # unterminated script/style swallows to EOF
+                j = m.start()
+                if i < j:
+                    cur = stack[-1]  # raw: no charrefs in cdata
+                    if cur.children:
+                        cur.children[-1].tail += html[i:j]
+                    else:
+                        cur.text += html[i:j]
+                for si in range(len(stack) - 1, 0, -1):
+                    if stack[si].tag == cdata:
+                        del stack[si:]
+                        break
+                cdata = None
                 i = m.end()
                 continue
-            m = _tagfind.match(html, i + 1)
-            k = m.end()
-            tag = m.group(1).lower()
-            attrs: list[tuple[str, str | None]] = []
-            while True:
-                ch = html[k] if k < n else ""
-                if ch == ">":
-                    k += 1
-                    selfclose = False
-                    break
-                if ch == "/" and html.startswith("/>", k):
-                    k += 2
-                    selfclose = True
-                    break
-                am = _attrfind.match(html, k)
-                if am is None:
-                    raise _Bail  # junk inside tag / EOF inside tag
-                attrname, rest, attrvalue = am.group(1, 2, 3)
-                if not rest:
-                    attrvalue = None
-                elif (
-                    attrvalue[:1] == "'" == attrvalue[-1:]
-                    or attrvalue[:1] == '"' == attrvalue[-1:]
-                ):
-                    attrvalue = attrvalue[1:-1]
-                if attrvalue:
-                    attrvalue = _unescape(attrvalue)
-                attrs.append((attrname.lower(), attrvalue))
-                k = am.end()
-            if selfclose:
-                b.handle_startendtag(tag, attrs)
-            else:
-                handle_starttag(tag, attrs)
-                if tag in ("script", "style"):
-                    cdata = tag
-            i = k
-        elif c == "/":
-            m = _endtagfind.match(html, i)
-            if m is not None:
-                handle_endtag(m.group(1).lower())
-                i = m.end()
-                continue
-            # tolerant paths: </tag junk>, </>, </ junk → bogus comment
-            nm = _tagfind.match(html, i + 2)
-            if nm is None:
-                if html.startswith("</>", i):
-                    i += 3
+            j = find("<", i)
+            if j < 0:
+                cur = stack[-1]
+                if cur.children:
+                    cur.children[-1].tail += _unescape(html[i:])
+                else:
+                    cur.text += _unescape(html[i:])
+                return
+            if i < j:
+                cur = stack[-1]
+                if cur.children:
+                    cur.children[-1].tail += _unescape(html[i:j])
+                else:
+                    cur.text += _unescape(html[i:j])
+            i = j
+            c = html[i + 1] if i + 1 < n else ""
+            if ("a" <= c <= "z") or ("A" <= c <= "Z"):
+                m = _SIMPLE_START.match(html, i + 1)
+                if m is not None:  # <p>, <div>, <b> ... the hot shape
+                    tag = m.group(1).lower()
+                    top = stack[-1]
+                    if (
+                        top.tag == "p"
+                        and tag in _P_CLOSERS
+                        or (c2 := _IMPLICIT_CLOSE.get(tag))
+                        and top.tag in c2
+                    ):
+                        stack.pop()
+                        top = stack[-1]
+                    node = Node(tag, {}, order)
+                    order += 1
+                    node.parent = top
+                    top.children.append(node)
+                    if tag not in VOID_ELEMENTS:
+                        stack.append(node)
+                        if tag in ("script", "style"):
+                            cdata = tag
+                    i = m.end()
                     continue
+                m = _tagfind.match(html, i + 1)
+                k = m.end()
+                tag = m.group(1).lower()
+                d: dict[str, str] = {}
+                while True:
+                    ch = html[k] if k < n else ""
+                    if ch == ">":
+                        k += 1
+                        selfclose = False
+                        break
+                    if ch == "/" and html.startswith("/>", k):
+                        k += 2
+                        selfclose = True
+                        break
+                    am = _attrfind.match(html, k)
+                    if am is None:
+                        raise _Bail  # junk inside tag / EOF inside tag
+                    attrname, rest, attrvalue = am.group(1, 2, 3)
+                    if not rest:
+                        attrvalue = None
+                    elif (
+                        attrvalue[:1] == "'" == attrvalue[-1:]
+                        or attrvalue[:1] == '"' == attrvalue[-1:]
+                    ):
+                        attrvalue = attrvalue[1:-1]
+                    if attrvalue:
+                        attrvalue = _unescape(attrvalue)
+                    attrname = attrname.lower()
+                    if attrname not in d:  # first value wins (contract)
+                        d[attrname] = attrvalue if attrvalue is not None else ""
+                    k = am.end()
+                if selfclose:
+                    node = Node(tag, d, order)
+                    order += 1
+                    top = stack[-1]
+                    node.parent = top
+                    top.children.append(node)
+                else:
+                    top = stack[-1]
+                    if (
+                        top.tag == "p"
+                        and tag in _P_CLOSERS
+                        or (c2 := _IMPLICIT_CLOSE.get(tag))
+                        and top.tag in c2
+                    ):
+                        stack.pop()
+                        top = stack[-1]
+                    node = Node(tag, d, order)
+                    order += 1
+                    node.parent = top
+                    top.children.append(node)
+                    if tag not in VOID_ELEMENTS:
+                        stack.append(node)
+                        if tag in ("script", "style"):
+                            cdata = tag
+                i = k
+            elif c == "/":
+                m = _endtagfind.match(html, i)
+                if m is not None:
+                    tag = m.group(1).lower()
+                    i = m.end()
+                elif (nm := _tagfind.match(html, i + 2)) is None:
+                    # tolerant paths: </>, </ junk → bogus comment
+                    if html.startswith("</>", i):
+                        i += 3
+                        continue
+                    pos = find(">", i + 2)
+                    if pos < 0:
+                        raise _Bail  # EOF recovery differs; defer to stdlib
+                    node = Node(COMMENT, order=order)
+                    order += 1
+                    node.text = html[i + 2 : pos]
+                    top = stack[-1]
+                    node.parent = top
+                    top.children.append(node)
+                    i = pos + 1
+                    continue
+                else:  # </tag junk>
+                    gtpos = find(">", nm.end())
+                    if gtpos < 0:
+                        raise _Bail
+                    tag = nm.group(1).lower()
+                    i = gtpos + 1
+                if tag not in VOID_ELEMENTS:
+                    for si in range(len(stack) - 1, 0, -1):
+                        if stack[si].tag == tag:
+                            del stack[si:]
+                            break
+            elif html.startswith("<!--", i):
+                m = _commentclose.search(html, i + 4)
+                if m is None:
+                    raise _Bail  # unterminated comment: stdlib EOF recovery
+                node = Node(COMMENT, order=order)
+                order += 1
+                node.text = html[i + 4 : m.start()]
+                top = stack[-1]
+                node.parent = top
+                top.children.append(node)
+                i = m.end()
+            elif c == "?":
                 pos = find(">", i + 2)
                 if pos < 0:
-                    raise _Bail  # EOF recovery differs; defer to stdlib
-                handle_comment(html[i + 2 : pos])
-                i = pos + 1
-                continue
-            gtpos = find(">", nm.end())
-            if gtpos < 0:
-                raise _Bail
-            handle_endtag(nm.group(1).lower())
-            i = gtpos + 1
-        elif html.startswith("<!--", i):
-            m = _commentclose.search(html, i + 4)
-            if m is None:
-                raise _Bail  # unterminated comment: stdlib EOF recovery
-            handle_comment(html[i + 4 : m.start()])
-            i = m.end()
-        elif c == "?":
-            pos = find(">", i + 2)
-            if pos < 0:
-                raise _Bail
-            i = pos + 1  # handle_pi is a no-op for the tree
-        elif c == "!":
-            if html.startswith("<![", i):
-                raise _Bail  # marked section (parse_marked_section)
-            if html[i : i + 9].lower() == "<!doctype":
-                pos = find(">", i + 9)
-                if pos < 0:
                     raise _Bail
-                i = pos + 1  # handle_decl is a no-op for the tree
+                i = pos + 1  # handle_pi is a no-op for the tree
+            elif c == "!":
+                if html.startswith("<![", i):
+                    raise _Bail  # marked section (parse_marked_section)
+                if html[i : i + 9].lower() == "<!doctype":
+                    pos = find(">", i + 9)
+                    if pos < 0:
+                        raise _Bail
+                    i = pos + 1  # handle_decl is a no-op for the tree
+                else:
+                    pos = find(">", i + 2)
+                    if pos < 0:
+                        raise _Bail
+                    node = Node(COMMENT, order=order)  # bogus comment
+                    order += 1
+                    node.text = html[i + 2 : pos]
+                    top = stack[-1]
+                    node.parent = top
+                    top.children.append(node)
+                    i = pos + 1
             else:
-                pos = find(">", i + 2)
-                if pos < 0:
-                    raise _Bail
-                handle_comment(html[i + 2 : pos])  # bogus comment
-                i = pos + 1
-        else:
-            # lone '<' (incl. as the final character: stdlib breaks, then
-            # the end-flush emits it as data — same coalesced text)
-            handle_data("<")
-            i += 1
+                # lone '<' (incl. as the final character: stdlib breaks,
+                # then the end-flush emits it as data — same coalesced
+                # text)
+                cur = stack[-1]
+                if cur.children:
+                    cur.children[-1].tail += "<"
+                else:
+                    cur.text += "<"
+                i += 1
+    finally:
+        b._order = order
 
 
 def parse_html(html: str) -> Node:
