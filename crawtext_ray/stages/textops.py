@@ -346,3 +346,50 @@ def decontaminate(docs, benchmark, n: int = 8, text_col: str = "text"):
         return stage
 
     return map_stage(docs, factory)
+
+
+def repetition_stats(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Within-document repetition measures (the Gopher/C4-style quality
+    gates): per doc, over non-empty lines —
+
+      n_lines        total non-empty lines
+      dup_line_frac  1 - distinct/total (0.0 when no lines)
+      dup_char_frac  characters in lines occurring >1 time / all line
+                     characters (0.0 when no lines)
+
+    Pure per-batch map (no shuffle); one row per doc. A DuckDB
+    differential test pins the definition (tests/test_training_data.py).
+    High values flag boilerplate / template / scraped-navigation docs a
+    pretraining corpus should drop."""
+    from collections import Counter
+
+    def stage(batch: pa.Table) -> pa.Table:
+        n_lines_c, dup_line_c, dup_char_c = [], [], []
+        for t in batch[text_col].to_pylist():
+            lines = [ln for ln in (t or "").split("\n") if ln]
+            total = len(lines)
+            if not total:
+                n_lines_c.append(0)
+                dup_line_c.append(0.0)
+                dup_char_c.append(0.0)
+                continue
+            counts = Counter(lines)
+            chars = sum(len(ln) for ln in lines)
+            dup_chars = sum(
+                len(ln) * c for ln, c in counts.items() if c > 1
+            )
+            n_lines_c.append(total)
+            dup_line_c.append(1.0 - len(counts) / total)
+            dup_char_c.append(dup_chars / chars if chars else 0.0)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_lines": pa.array(n_lines_c, pa.int64()),
+                "dup_line_frac": pa.array(dup_line_c, pa.float64()),
+                "dup_char_frac": pa.array(dup_char_c, pa.float64()),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        stage, batch_format="pyarrow", zero_copy_batch=True
+    )

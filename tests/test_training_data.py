@@ -209,3 +209,55 @@ def test_curate_with_benchmark_decontamination(ray_session, pages_small, tmp_pat
     # one article; clones of it may legitimately share 8-grams)
     dropped = {r["url"] for r in rows} - kept_urls
     assert dropped and len(dropped) <= max(3, len(rows) // 10)
+
+
+def test_repetition_stats_vs_duckdb(ray_session):
+    """Repetition measures match an independent SQL definition."""
+    import duckdb
+    import ray.data as rd
+
+    from crawtext_ray.stages.textops import repetition_stats
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in repetition_stats(docs).take_all()
+    }
+    con = duckdb.connect()
+    sql = """
+    WITH lines AS (
+      SELECT doc_id, ln FROM (
+        SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+        FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+      ) WHERE ln <> ''
+    ), per_line AS (
+      SELECT doc_id, ln, count(*) AS c FROM lines GROUP BY doc_id, ln
+    )
+    SELECT doc_id,
+           sum(c)::BIGINT AS n_lines,
+           1.0 - count(*)::DOUBLE / sum(c) AS dup_line_frac,
+           coalesce(sum(CASE WHEN c > 1 THEN length(ln) * c END), 0)::DOUBLE
+             / sum(length(ln) * c) AS dup_char_frac
+    FROM per_line GROUP BY doc_id
+    """
+    oracle = {row[0]: row for row in con.execute(sql).fetchall()}
+    # docs with no non-empty lines are absent from the SQL side
+    assert set(oracle) <= set(got)
+    synthetic_dup = "same line\nsame line\nother\n\nsame line"
+    for d, r in got.items():
+        if d in oracle:
+            _, n_l, dlf, dcf = oracle[d]
+            assert r["n_lines"] == n_l, d
+            assert abs(r["dup_line_frac"] - dlf) < 1e-9, d
+            assert abs(r["dup_char_frac"] - dcf) < 1e-9, d
+        else:
+            assert r["n_lines"] == 0
+    # planted: 3x "same line" (9 chars each) of 4 lines / 32 chars
+    flags = repetition_stats(
+        rd.from_items([{"doc_id": 1, "text": synthetic_dup}])
+    ).take_all()[0]
+    assert flags["n_lines"] == 4
+    assert abs(flags["dup_line_frac"] - (1 - 2 / 4)) < 1e-9
+    assert abs(flags["dup_char_frac"] - (27 / (27 + 5))) < 1e-9
