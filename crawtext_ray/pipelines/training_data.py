@@ -290,6 +290,7 @@ def curate(
     verify_dups: float | None = None,
     benchmark=None,
     benchmark_ngram: int = 8,
+    max_dup_line_frac: float | None = None,
 ):
     """Full curation chain; returns the curated articles Dataset (written
     to ``out_dir`` when given). ``verify_dups``: exact-Jaccard threshold
@@ -319,6 +320,11 @@ def curate(
     # gated corpus through the object store); without one (interactive /
     # small runs) it stays an object-store materialize.
     gate = quality_gate(ok, min_words=min_words)
+    if max_dup_line_frac is not None:
+        from ..stages.textops import repetition_gate
+
+        gate = repetition_gate(gate, text_col="extracted_text",
+                               max_dup_line_frac=max_dup_line_frac)
     if benchmark is not None:
         from ..stages.textops import decontaminate
 

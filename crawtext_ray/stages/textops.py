@@ -393,3 +393,25 @@ def repetition_stats(docs, text_col: str = "text", id_col: str = "doc_id"):
     return docs.select_columns([id_col, text_col]).map_batches(
         stage, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def repetition_gate(ds, text_col: str = "text",
+                    max_dup_line_frac: float = 0.3):
+    """Drop documents whose duplicate-line fraction exceeds the
+    threshold (same definition as ``repetition_stats``): the actionable
+    form of the Gopher-style repetition gate — a pure streaming
+    per-batch filter, no shuffle."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        keep = []
+        for t in batch[text_col].to_pylist():
+            lines = [ln for ln in (t or "").split("\n") if ln]
+            if not lines:
+                keep.append(True)  # emptiness is the length gate's job
+                continue
+            keep.append(1.0 - len(set(lines)) / len(lines)
+                        <= max_dup_line_frac)
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(stage, batch_format="pyarrow",
+                          zero_copy_batch=True)

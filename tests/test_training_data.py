@@ -261,3 +261,20 @@ def test_repetition_stats_vs_duckdb(ray_session):
     assert flags["n_lines"] == 4
     assert abs(flags["dup_line_frac"] - (1 - 2 / 4)) < 1e-9
     assert abs(flags["dup_char_frac"] - (27 / (27 + 5))) < 1e-9
+
+
+def test_repetition_gate(ray_session):
+    """Gate drops exactly the docs over the duplicate-line threshold."""
+    import ray.data as rd
+
+    from crawtext_ray.stages.textops import repetition_gate
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "a\nb\nc\nd"},            # 0.0 dup
+        {"doc_id": 2, "text": "x\nx\nx\nx"},            # 0.75 dup
+        {"doc_id": 3, "text": "p\np\nq\nr"},            # 0.25 dup
+        {"doc_id": 4, "text": ""},                      # empty: kept
+    ])
+    kept = {r["doc_id"] for r in
+            repetition_gate(docs, max_dup_line_frac=0.3).take_all()}
+    assert kept == {1, 3, 4}
