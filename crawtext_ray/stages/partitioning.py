@@ -87,7 +87,23 @@ def use_hash_shuffle() -> None:
     default sort-shuffle measured faster for this workload's bounded-key
     groupbys on the 32-cpu host (hash shuffle spawns per-partition
     aggregator actors with a fixed ramp cost), so only enable it when a
-    pipeline needs key co-location across stages."""
+    pipeline needs key co-location across stages.
+
+    The aggregator pool is sized to the session: Ray's defaults
+    (parallelism 200 → up to 64 aggregator ACTORS) can never be placed
+    on a small-CPU session, and every shuffle then deadlocks inside the
+    300 s aggregator wait (observed: any groupby at 8 cpus hung).
+    Roughly half the CPUs go to aggregators, leaving the rest for the
+    upstream read/map tasks feeding them."""
+    import ray
     from ray.data.context import DataContext, ShuffleStrategy
 
-    DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or None
+        if cpus:
+            ctx.max_hash_shuffle_aggregators = max(1, cpus // 2)
+            ctx.default_hash_shuffle_parallelism = min(
+                200, max(8, cpus * 2)
+            )
