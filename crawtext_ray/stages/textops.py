@@ -415,3 +415,104 @@ def repetition_gate(ds, text_col: str = "text",
 
     return ds.map_batches(stage, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def unigram_lm_scores(docs, text_col: str = "text", id_col: str = "doc_id",
+                      vocab_size: int = 50_000, alpha: float = 0.5,
+                      model_docs=None):
+    """Model-based quality scoring, CCNet/C4-shape: train a unigram
+    language model on the corpus (or on ``model_docs`` — e.g. a clean
+    reference corpus), then score every document by its mean token
+    negative log-likelihood (cross-entropy; LOWER = more like the
+    training distribution, high = gibberish/outlier, the classic
+    perplexity-filter signal).
+
+    Two phases, both scale-shaped:
+      1. TRAIN — map-side `value_counts` partials per block, one Sum
+         groupby over O(block-vocabulary) rows, top-``vocab_size`` kept
+         (ties lexicographic). Lidstone ``alpha`` smoothing with one
+         shared OOV bucket.
+      2. SCORE — the model (≤ vocab_size rows) is broadcast once via
+         ``ray.put``; each batch builds its token list-array, probes
+         log-probs vectorized (np.searchsorted against the sorted vocab)
+         and averages per doc via the list offsets. No shuffle; the
+         corpus streams.
+
+    Tokens = lowercased [a-z0-9]+ runs (the house tokenizer). Returns
+    (id, n_tokens:int64, nll:float64) — nll = 0.0 for token-less docs.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch[text_col])
+        toks = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+        arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        vals = pc.list_flatten(arr)
+        vals = vals.filter(pc.greater(pc.utf8_length(vals), 0))
+        vc = pc.value_counts(vals)
+        return pa.table({
+            "token": vc.field("values"),
+            "partial_n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    train = model_docs if model_docs is not None else docs
+    totals = train.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("token").aggregate(Sum("partial_n", alias_name="n"))
+    top = totals.sort(["n", "token"], descending=[True, False]).limit(vocab_size)
+
+    toks_list, counts_list = [], []
+    for b in top.iter_batches(batch_format="pyarrow"):
+        toks_list.extend(b["token"].to_pylist())
+        counts_list.extend(b["n"].to_pylist())
+    order = np.argsort(np.asarray(toks_list, dtype=object))
+    vocab = np.asarray(toks_list, dtype=object)[order]
+    counts = np.asarray(counts_list, dtype=np.float64)[order]
+    total = counts.sum()
+    v = len(vocab)
+    denom = total + alpha * (v + 1)  # +1: the shared OOV bucket
+    logp = np.log((counts + alpha) / denom)
+    oov_logp = float(np.log(alpha / denom))
+    ref = ray.put((vocab, logp))
+
+    from .fusion import map_stage
+
+    def factory():
+        vcb, lp = ray.get(ref)
+
+        def stage(batch: pa.Table) -> pa.Table:
+            low = pc.utf8_lower(batch[text_col])
+            toks = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+            arr = (toks.combine_chunks()
+                   if isinstance(toks, pa.ChunkedArray) else toks)
+            vals = pc.list_flatten(arr)
+            row_idx = pc.list_parent_indices(arr).to_numpy(
+                zero_copy_only=False
+            )
+            lens = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
+            keep = lens > 0
+            n = batch.num_rows
+            n_toks = np.bincount(row_idx[keep], minlength=n)
+            if len(vcb):
+                words = np.asarray(vals.to_pylist(), dtype=object)[keep]
+                pos = np.searchsorted(vcb, words)
+                pos_c = np.clip(pos, 0, len(vcb) - 1)
+                hit = vcb[pos_c] == words
+                tok_lp = np.where(hit, lp[pos_c], oov_logp)
+            else:
+                tok_lp = np.full(int(keep.sum()), oov_logp)
+            sum_lp = np.bincount(row_idx[keep], weights=-tok_lp, minlength=n)
+            nll = np.divide(sum_lp, n_toks, out=np.zeros(n),
+                            where=n_toks > 0)
+            return pa.table({
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "nll": pa.array(nll, pa.float64()),
+            })
+
+        return stage
+
+    return map_stage(docs.select_columns([id_col, text_col]), factory)

@@ -278,3 +278,59 @@ def test_repetition_gate(ray_session):
     kept = {r["doc_id"] for r in
             repetition_gate(docs, max_dup_line_frac=0.3).take_all()}
     assert kept == {1, 3, 4}
+
+
+def test_unigram_lm_scores_vs_reference(ray_session):
+    """LM scorer matches an independent pure-Python model on real docs,
+    and ranks a gibberish doc worse than an in-distribution one."""
+    import math
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from crawtext_ray.stages.textops import unigram_lm_scores
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    rows = docs.take_all()
+    tok = re.compile(r"[a-z0-9]+")
+    V, ALPHA = 100, 0.5
+
+    counts = Counter()
+    for r in rows:
+        counts.update(tok.findall((r["text"] or "").lower()))
+    # top-V by (count desc, token asc) — the operator's tie-break
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+    total = sum(counts.values())
+    denom = total + ALPHA * (len(top) + 1)
+    logp = {t: math.log((c + ALPHA) / denom) for t, c in top}
+    oov = math.log(ALPHA / denom)
+
+    def ref_nll(text):
+        toks = tok.findall((text or "").lower())
+        if not toks:
+            return 0, 0.0
+        return len(toks), -sum(logp.get(t, oov) for t in toks) / len(toks)
+
+    got = {
+        r["doc_id"]: r
+        for r in unigram_lm_scores(docs, vocab_size=V, alpha=ALPHA).take_all()
+    }
+    assert set(got) == {r["doc_id"] for r in rows}
+    for r in rows:
+        n, nll = ref_nll(r["text"])
+        g = got[r["doc_id"]]
+        assert g["n_tokens"] == n, r["doc_id"]
+        assert abs(g["nll"] - nll) < 1e-9, r["doc_id"]
+
+    # gibberish scores worse than a real document
+    probe = rd.from_items([
+        {"doc_id": 1, "text": rows[0]["text"]},
+        {"doc_id": 2, "text": "qzxv jkqp wvxz zzqj xqzv pqzw " * 10},
+    ])
+    s = {r["doc_id"]: r["nll"]
+         for r in unigram_lm_scores(probe, vocab_size=V, alpha=ALPHA,
+                                    model_docs=docs).take_all()}
+    assert s[2] > s[1]
