@@ -516,3 +516,33 @@ def unigram_lm_scores(docs, text_col: str = "text", id_col: str = "doc_id",
         return stage
 
     return map_stage(docs.select_columns([id_col, text_col]), factory)
+
+
+def stratified_sample(docs, rates: dict, strata_col: str = "lang",
+                      id_col: str = "doc_id",
+                      default_rate: float = 1.0):
+    """Per-stratum quota sampling (e.g. language rebalancing of a
+    pretraining mix): keep a row iff the first two bytes of
+    md5(str(id)) fall under its stratum's rate — the same deterministic
+    hash-sampling scheme as T3's `sample_docs_deterministic`, so every
+    rerun (and a SQL oracle) selects the identical rows. Pure streaming
+    per-batch filter: no shuffle, no per-stratum pass; strata not in
+    ``rates`` use ``default_rate``. Rates are fractions in [0, 1],
+    quantized to 1/65536."""
+    import hashlib
+
+    cuts = {k: int(65536 * v) for k, v in rates.items()}
+    default_cut = int(65536 * default_rate)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        strata = batch[strata_col].to_pylist()
+        keep = [
+            int.from_bytes(
+                hashlib.md5(str(i).encode()).digest()[:2], "big"
+            ) < cuts.get(s, default_cut)
+            for i, s in zip(ids, strata)
+        ]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -334,3 +334,35 @@ def test_unigram_lm_scores_vs_reference(ray_session):
          for r in unigram_lm_scores(probe, vocab_size=V, alpha=ALPHA,
                                     model_docs=docs).take_all()}
     assert s[2] > s[1]
+
+
+def test_stratified_sample_vs_duckdb(ray_session):
+    """Per-language quota sample matches the same md5 arithmetic in SQL
+    and respects per-stratum rates."""
+    import duckdb
+    import ray.data as rd
+
+    from crawtext_ray.stages.textops import stratified_sample
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "lang"],
+    )
+    rates = {"en": 0.25, "zh": 0.0, "fr": 1.0}
+    got = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs, rates, default_rate=0.5).take_all()
+    )
+    sql = """
+    SELECT doc_id FROM read_parquet(
+      '/root/testdata/sf0.001/documents.parquet')
+    WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                AS UBIGINT))
+          < CASE lang WHEN 'en' THEN 16384 WHEN 'zh' THEN 0
+                      WHEN 'fr' THEN 65536 ELSE 32768 END
+    ORDER BY doc_id
+    """
+    oracle = [r[0] for r in duckdb.connect().execute(sql).fetchall()]
+    assert got == oracle and got
+    langs = {r["doc_id"]: r["lang"] for r in docs.take_all()}
+    assert not any(langs[d] == "zh" for d in got)
