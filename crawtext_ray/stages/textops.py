@@ -434,8 +434,9 @@ def unigram_lm_scores(docs, text_col: str = "text", id_col: str = "doc_id",
          shared OOV bucket.
       2. SCORE — the model (≤ vocab_size rows) is broadcast once via
          ``ray.put``; each batch builds its token list-array, probes
-         log-probs vectorized (np.searchsorted against the sorted vocab)
-         and averages per doc via the list offsets. No shuffle; the
+         log-probs vectorized (Arrow index_in against the broadcast vocab)
+         and averages per doc via the list offsets (vocab lookup via
+         pc.index_in — C-vectorized, no Python per token). No shuffle; the
          corpus streams.
 
     Tokens = lowercased [a-z0-9]+ runs (the house tokenizer). Returns
@@ -468,9 +469,8 @@ def unigram_lm_scores(docs, text_col: str = "text", id_col: str = "doc_id",
     for b in top.iter_batches(batch_format="pyarrow"):
         toks_list.extend(b["token"].to_pylist())
         counts_list.extend(b["n"].to_pylist())
-    order = np.argsort(np.asarray(toks_list, dtype=object))
-    vocab = np.asarray(toks_list, dtype=object)[order]
-    counts = np.asarray(counts_list, dtype=np.float64)[order]
+    vocab = pa.array(toks_list, pa.string())
+    counts = np.asarray(counts_list, dtype=np.float64)
     total = counts.sum()
     v = len(vocab)
     denom = total + alpha * (v + 1)  # +1: the shared OOV bucket
@@ -497,11 +497,13 @@ def unigram_lm_scores(docs, text_col: str = "text", id_col: str = "doc_id",
             n = batch.num_rows
             n_toks = np.bincount(row_idx[keep], minlength=n)
             if len(vcb):
-                words = np.asarray(vals.to_pylist(), dtype=object)[keep]
-                pos = np.searchsorted(vcb, words)
-                pos_c = np.clip(pos, 0, len(vcb) - 1)
-                hit = vcb[pos_c] == words
-                tok_lp = np.where(hit, lp[pos_c], oov_logp)
+                # C-vectorized vocab lookup: index_in maps each token to
+                # its vocab position (null = OOV); no Python per token
+                idx = pc.fill_null(
+                    pc.index_in(vals, value_set=vcb), -1
+                ).to_numpy(zero_copy_only=False)[keep]
+                tok_lp = np.where(idx >= 0, lp[np.clip(idx, 0, None)],
+                                  oov_logp)
             else:
                 tok_lp = np.full(int(keep.sum()), oov_logp)
             sum_lp = np.bincount(row_idx[keep], weights=-tok_lp, minlength=n)
