@@ -34,7 +34,8 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 # object regex on Flate output). Flat dicts only — nested-dict heads
 # fall back to the delimiter scan.
 _LEN_STREAM_RE = re.compile(
-    rb"<<(?P<dict>[^<>]*?/Length\s+(?P<len>\d+)[^<>]*?)>>\s*stream\r?\n"
+    rb"<<(?P<dict>[^<>]*?/Length\s+(?P<len>\d+)(?P<ind>\s+\d+\s+R)?"
+    rb"[^<>]*?)>>\s*stream\r?\n"
 )
 _BT_ET_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 # (string) Tj | (string) ' | [array] TJ  + text-line operators
@@ -140,36 +141,50 @@ def extract_pdf_text(data: bytes) -> dict:
     n_pages = len(re.findall(rb"/Type\s*/Page[^s]", data))
     texts: list[str] = []
 
-    def try_stream(head: bytes, raw: bytes) -> None:
+    def try_stream(head: bytes, raw: bytes) -> bool:
+        """True iff the payload decoded cleanly (whether or not it held
+        text) — a False from the /Length pass means the slice was bogus
+        (lying /Length) and the delimiter scan should still try it."""
         if b"/FlateDecode" in head:
             try:
                 raw = zlib.decompress(raw)
             except zlib.error:
-                return
+                return False
         elif b"/Filter" in head:
-            return  # unsupported filter
+            return False  # unsupported filter
         if b"BT" not in raw:
-            return
+            return True
         try:
             t = _content_text(raw)
         except Exception:
-            return  # malformed content stream — skip it, keep "never raises"
+            return True  # malformed content stream — skip, "never raises"
         if t:
             texts.append(t)
+        return True
 
     # primary pass: /Length-bounded streams (robust to delimiter bytes
-    # inside compressed payloads)
+    # inside compressed payloads). Indirect lengths (`/Length 5 0 R`)
+    # are skipped here — the captured digits are an object NUMBER, not a
+    # byte count — and left to the delimiter scan below.
+    consumed: list[tuple[int, int]] = []
     for sm in _LEN_STREAM_RE.finditer(data):
+        if sm.group("ind") is not None:
+            continue
         n = int(sm.group("len"))
-        try_stream(sm.group("dict"), data[sm.end() : sm.end() + n])
-    if not texts:
-        # fallback: delimiter-based object scan (PDFs with indirect or
-        # nested-dict /Length entries)
-        for obj in _OBJ_RE.finditer(data):
-            body = obj.group(1)
-            sm2 = _STREAM_RE.search(body)
-            if sm2:
-                try_stream(body, sm2.group(1))
+        if try_stream(sm.group("dict"), data[sm.end() : sm.end() + n]):
+            consumed.append((sm.end(), sm.end() + n))
+    # complementary pass (ALWAYS runs, not only when the primary found
+    # nothing): delimiter-based scan over objects the primary pass did
+    # NOT consume — PDFs mixing direct-/Length streams with indirect or
+    # nested-dict /Length entries keep the latter's text
+    for obj in _OBJ_RE.finditer(data):
+        body = obj.group(1)
+        sm2 = _STREAM_RE.search(body)
+        if sm2:
+            payload_at = obj.start(1) + sm2.start(1)
+            if any(lo <= payload_at < hi for lo, hi in consumed):
+                continue
+            try_stream(body, sm2.group(1))
     text = "\n\n".join(texts)
     status = "ok" if text else ("unsupported" if n_pages else "empty")
     return {"text": text, "n_pages": max(n_pages, 1 if text else 0),

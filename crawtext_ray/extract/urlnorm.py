@@ -101,11 +101,14 @@ def _simple_http_path(url: str) -> str | None:
     q = url.find("?", i)
     if q != -1 and q < end:
         end = q
+    if "[" in url[i:end] or "]" in url[i:end]:
+        # brackets anywhere before the fragment/query (netloc OR userinfo,
+        # path-less or not): urlsplit validates placement and may raise —
+        # defer so malformed-bracket URLs stay non-crawlable
+        return None
     s = url.find("/", i)
     if s == -1 or s >= end:
         return ""
-    if "[" in url[i:s]:
-        return None  # IPv6 netloc: urlsplit validates brackets
     return url[s:end]
 
 

@@ -332,9 +332,15 @@ def curate(
                              text_col="extracted_text")
     ckpt_dir = None
     if out_dir:
+        import shutil
+
         import ray.data as rd
 
         ckpt_dir = out_dir.rstrip("/") + "_gated.ckpt"
+        # a crashed prior run leaves parquet here; re-reading it alongside
+        # the fresh write would duplicate rows (and hard-fail
+        # drop_exact_dups' row-identity check) — start clean
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
         gate.write_parquet(ckpt_dir)
         gated = rd.read_parquet(ckpt_dir, file_extensions=["parquet"])
     else:

@@ -552,9 +552,15 @@ def _verify_candidates(cands, ds_docs, text_col: str, id_col: str,
 
     import ray.data as rd
 
+    # id-type-generic: string doc ids must survive like the rest of the
+    # dedup family (exact_dedup, banded_lsh_pairs) — derive from the corpus
+    try:
+        id_type = ds_docs.schema().base_schema.field(id_col).type
+    except Exception:
+        id_type = pa.int64()
     empty = pa.table({
-        a_col: pa.array([], pa.int64()),
-        b_col: pa.array([], pa.int64()),
+        a_col: pa.array([], id_type),
+        b_col: pa.array([], id_type),
         "jaccard": pa.array([], pa.float64()),
     })
     oriented = cands.map_batches(
@@ -574,8 +580,8 @@ def _verify_candidates(cands, ds_docs, text_col: str, id_col: str,
         if t.num_rows == 0 or t.num_columns == 0:
             return empty
         return pa.table({
-            a_col: t["rep_id"].cast(pa.int64()),
-            b_col: t[id_col].cast(pa.int64()),
+            a_col: t["rep_id"].cast(id_type),
+            b_col: t[id_col].cast(id_type),
             "jaccard": t["jaccard"].cast(pa.float64()),
         })
 

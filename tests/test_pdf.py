@@ -86,3 +86,34 @@ def test_ray_pdf_stage(ray_session):
     assert len(ok) == 20
     assert (ok["n_chars"] > 0).all()
     assert out[out["doc_id"] == 99]["pdf_status"].iloc[0] == "not_pdf"
+
+
+def test_indirect_length_stream():
+    # /Length 5 0 R is an indirect reference: the '5' is an object NUMBER,
+    # not a byte count — must fall through to the delimiter scan
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 5 0 R >>\nstream\n"
+        b"BT (Indirect length text) Tj ET\nendstream\nendobj\n"
+        b"5 0 obj\n37\nendobj\n"
+    )
+    res = extract_pdf_text(raw)
+    assert "Indirect length text" in res["text"]
+
+
+def test_mixed_direct_and_indirect_length_streams():
+    # a direct-/Length stream yields text AND an indirect-length stream
+    # coexists: the old code only ran the delimiter fallback when the
+    # primary pass found nothing, silently losing the indirect stream
+    raw = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Length 31 >>\nstream\n"
+        b"BT (Direct stream text) Tj ET\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Length 6 0 R >>\nstream\n"
+        b"BT (Indirect stream text) Tj ET\nendstream\nendobj\n"
+        b"6 0 obj\n33\nendobj\n"
+    )
+    res = extract_pdf_text(raw)
+    assert "Direct stream text" in res["text"]
+    assert "Indirect stream text" in res["text"]
+    # and no duplication of the direct segment
+    assert res["text"].count("Direct stream text") == 1

@@ -693,3 +693,33 @@ def test_candidate_pairs_no_dups_and_empty_ok(ray_session):
     # schema is the stable contract (query wrappers pandas-fix it up)
     assert out.schema().names == ["doc_id_a", "doc_id_b", "jaccard"]
     assert out.count() == 0
+
+
+def test_minhash_verified_string_ids(ray_session):
+    """The verifier chain is id-type-generic: string doc ids survive end
+    to end (the empty schema and the norm casts used to hardcode int64,
+    crashing on string corpora)."""
+    import ray.data as rd
+
+    from crawtext_ray.stages.dedup import minhash_verified_duplicates
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain in "
+        "spain stays mainly in the plain and the cat sat on the mat "
+    ) * 3
+    rows = [
+        {"doc_id": f"doc-{i:03d}",
+         "text": " ".join(f"u{i}x{j}" for j in range(60))}
+        for i in range(8)
+    ]
+    rows.append({"doc_id": "dup-a", "text": base})
+    rows.append({"doc_id": "dup-b", "text": base})
+    ds = rd.from_items(rows)
+    out = minhash_verified_duplicates(ds, shingle_k=3, threshold=0.5)
+    assert out.schema().names == ["doc_id_a", "doc_id_b", "jaccard"]
+    df = out.to_pandas()
+    pairs = {(r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+             for _, r in df.iterrows()}
+    assert ("dup-a", "dup-b", 1.0) in pairs
+    # and the all-distinct prefix contributes nothing
+    assert len(pairs) == 1

@@ -366,3 +366,33 @@ def test_stratified_sample_vs_duckdb(ray_session):
     assert got == oracle and got
     langs = {r["doc_id"]: r["lang"] for r in docs.take_all()}
     assert not any(langs[d] == "zh" for d in got)
+
+
+def test_curate_clears_stale_checkpoint(ray_session, pages_small, tmp_path):
+    """A crashed prior run's leftover gated-checkpoint parquet must not be
+    read back alongside the fresh write (it used to duplicate every row
+    and hard-fail drop_exact_dups' row-identity check)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawtext_ray.pipelines.training_data import curate
+
+    out = str(tmp_path / "curated")
+    ckpt = out + "_gated.ckpt"
+    # simulate a crashed prior run: a real article row left in the ckpt dir
+    import os
+
+    os.makedirs(ckpt, exist_ok=True)
+    stale = pa.table({
+        "url": ["http://stale.example/leftover"],
+        "warc_ts": pa.array([0], pa.timestamp("us")),
+        "extracted_text": ["stale leftover row " * 10],
+    })
+    pq.write_table(stale, os.path.join(ckpt, "stale-0.parquet"))
+    curated = curate(pages_small, out_dir=out, num_partitions=4,
+                     concurrency=2, min_words=10)
+    df = curated.to_pandas()
+    assert 0 < len(df) <= 1000
+    assert not df["url"].str.contains("stale.example").any()
+    # no duplicated row identity survived to the sink
+    assert df["content_sha256"].map(bytes).is_unique

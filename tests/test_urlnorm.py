@@ -126,6 +126,10 @@ def test_is_crawlable_differential_vs_urlsplit():
         "http://a.com/deep/path/file.webm", "http://[::1]/x.png",
         "mailto:x@y.z", "", "not a url", "http://a.com/a.b.c.exe",
         "https://host:443/x.y", "http://a.com/%2e%2e/f.js",
+        # malformed brackets: urlsplit raises, so these must NOT leak
+        # into the frontier (path-less and userinfo-bracket shapes)
+        "http://[invalid", "http://a]b@host/page", "http://a[b@host",
+        "http://host]x", "http://[::1",
     ]
     for u in cases:
         assert is_crawlable(u) == ref(u), u
