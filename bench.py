@@ -92,13 +92,36 @@ def run_bench() -> dict:
     t_extract = min(runs)
     queries["extract_flagship"] = round(t_extract, 3)
 
-    def timed(name: str, fn) -> None:
+    query_runs: dict[str, list[float]] = {}
+
+    def timed(name: str, fn, runs: int = 2) -> None:
+        # best-of-N per operator query (not just the flagship): a single
+        # timing is noise-fragile on this shared host — BENCH_r03 showed
+        # 2-7x inflation growing with query position during a contention
+        # ramp while the same code measured calm in-session. All raw
+        # times are reported so a contaminated window is self-evident.
+        raw: list[float] = []
+        for _ in range(runs):
+            time.sleep(1.0)  # let the previous query's workers release
+            t = time.time()
+            res = fn(SF_DIR)
+            # consume to a small driver-side result
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            raw.append(round(time.time() - t, 3))
+        queries[name] = min(raw)
+        query_runs[name] = raw
+
+    def probe() -> float:
+        """Warm report_lang over SF_DIR — the host-noise calibration
+        probe. Calm band on this host: ~0.45-0.7 s; >=1 s means the
+        window is contaminated and absolute numbers are inflated."""
         t = time.time()
-        res = fn(SF_DIR)
-        # consume to a small driver-side result
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()
-        queries[name] = round(time.time() - t, 3)
+        R.report_lang_docs(SF_DIR).to_pandas()
+        return round(time.time() - t, 3)
+
+    probe()  # untimed warm-up (cache + code paths)
+    probe_before = probe()
 
     if os.environ.get("RAY_GRAFT_SCALING_LEG"):
         # scaling legs measure the extraction job only
@@ -143,11 +166,32 @@ def run_bench() -> dict:
     from fixtures.gen_pages import generate
 
     mid_pages = generate(FIXTURE_ROOT, "mid")
-    shutil.rmtree("/tmp/bench_curate", ignore_errors=True)
-    t = time.time()
-    curate(mid_pages, out_dir="/tmp/bench_curate", num_partitions=16,
-           concurrency="tasks", min_words=10)
-    queries["curate_10k_pages"] = round(time.time() - t, 3)
+
+    def run_curate(sf: str):
+        shutil.rmtree("/tmp/bench_curate", ignore_errors=True)
+        return curate(mid_pages, out_dir="/tmp/bench_curate",
+                      num_partitions=16, concurrency="tasks", min_words=10)
+
+    timed("curate_10k_pages", run_curate)
+
+    # the FULL LLM-curation path: the same chain plus the within-doc
+    # repetition gate (Gopher/C4 dup-line rules) and benchmark
+    # decontamination (eval-set n-gram overlap drop, broadcast hash-set
+    # probe) — the optional stages a production training-data pipeline
+    # runs, tracked as their own number
+    bench_docs = rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["text"]
+    ).limit(200).materialize()
+
+    def run_curate_full(sf: str):
+        shutil.rmtree("/tmp/bench_curate_full", ignore_errors=True)
+        return curate(mid_pages, out_dir="/tmp/bench_curate_full",
+                      num_partitions=16, concurrency="tasks", min_words=10,
+                      benchmark=bench_docs, max_dup_line_frac=0.3)
+
+    timed("curate_full_10k", run_curate_full)
+
+    probe_after = probe()
 
     out = {
         "metric": "flagship extraction seconds (synthetic CC-style pages, "
@@ -160,6 +204,12 @@ def run_bench() -> dict:
         "n_pages": n_pages,
         "docs_per_sec": round(n_pages / t_extract, 1),
         "extract_runs_sec": [round(r, 3) for r in runs],
+        # host-noise calibration: warm report_lang before/after the
+        # operator block (calm ~0.45-0.7 s; >=1 s = contaminated window,
+        # distrust the absolute operator numbers in this run)
+        "probe_before_sec": probe_before,
+        "probe_after_sec": probe_after,
+        "query_runs_sec": query_runs,
     }
     ray.shutdown()
     return out
