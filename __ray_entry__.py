@@ -66,19 +66,47 @@ def _q_extract_articles(sf_dir: str):
 def _q_extract_reports(sf_dir: str):
     """The flagship report family over ONE extraction pass: per-language,
     per-status, and top-10-domain counts as (kind, key, n_docs) rows
-    (merged from three query slots — one extract instead of three)."""
+    (merged from three query slots — one extract instead of three).
+
+    ORACLE-CHECKED against the generator's planted ground truth
+    (``truth_<name>/`` parquet written by fixtures/gen_pages.py — the
+    expected lang/status per url, known independently of the extraction
+    pipeline): lang and domain counts over all rows, status counts over
+    the determinate subset (expected_status != 'any'; truncated-html
+    pages may legitimately parse either way). Domain top-10 is made
+    deterministic with a (count desc, domain asc) tiebreak mirrored in
+    the SQL."""
     import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
     from crawtext_ray.pipelines.flagship import build_articles
     from crawtext_ray.stages.report import (
+        report_domain,
         report_lang,
         report_status,
-        top_domains,
     )
 
+    pages = _pages_dir(sf_dir)
+    truth_dir = pages.replace("pages_", "truth_")
     arts = build_articles(
-        _pages_dir(sf_dir), num_partitions=8, concurrency="tasks"
+        pages, num_partitions=8, concurrency="tasks"
     ).materialize()
+
+    # urls whose expected status the generator cannot pin (broken html)
+    tru = pq.read_table(truth_dir, columns=["url", "expected_status"])
+    any_urls = pa.array(sorted(
+        set(tru.filter(pc.equal(tru["expected_status"], "any"))["url"]
+            .to_pylist())
+    ), pa.string())
+
+    def drop_any(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.invert(pc.is_in(t["url"], value_set=any_urls))
+        )
+
+    determinate = arts.map_batches(drop_any, batch_format="pyarrow",
+                                   zero_copy_batch=True)
 
     def tag(ds, kind: str, key_col: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -90,9 +118,12 @@ def _q_extract_reports(sf_dir: str):
 
         return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
+    top10 = report_domain(arts).sort(
+        ["n_docs", "domain"], descending=[True, False]
+    ).limit(10)
     out = tag(report_lang(arts), "lang", "lang")
-    out = out.union(tag(report_status(arts), "status", "status"))
-    return out.union(tag(top_domains(arts, k=10), "domain", "domain"))
+    out = out.union(tag(report_status(determinate), "status", "status"))
+    return out.union(tag(top10, "domain", "domain"))
 
 
 def _q_lang_id(sf_dir: str):
@@ -126,16 +157,6 @@ def _q_fingerprint(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
     return text_features(docs).select_columns(["doc_id", "fingerprint"])
-
-
-def _q_jaccard_brute(sf_dir: str):
-    import ray.data as rd
-
-    from crawtext_ray.stages.dedup import jaccard_dups_brute
-
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-    return jaccard_dups_brute(docs, k=3, threshold=0.5)
 
 
 def _q_vocabulary(sf_dir: str):
@@ -191,17 +212,44 @@ def _q_exact_dedup(sf_dir: str):
 
 def _q_minhash_dups(sf_dir: str):
     """MinHash-LSH candidates verified by exact n-gram Jaccard ≥ 0.5.
-    Oracle-checked against the brute cross-join SQL: on this corpus every
-    true pair sits far above the threshold (all ≥ 0.88), so 32-band LSH
-    recall is total and verified output EQUALS the exact truth (the
-    equality is also pinned by a pytest planted-pair test)."""
+    Oracle-checked against the inverted-index Jaccard SQL: on this corpus
+    every true pair sits far above the threshold (all ≥ 0.88), so 32-band
+    LSH recall is total and verified output EQUALS the exact truth (the
+    equality is also pinned by a pytest planted-pair test).
+
+    The brute-force O(n²) diagnostic (formerly its own driver slot,
+    ``jaccard_dups_brute``) is folded in as an in-query assertion: on
+    corpora under the cap, the exact cross-product truth must equal the
+    LSH+verify output pair-for-pair — merged, never dropped."""
+    import pandas as pd
     import ray.data as rd
 
-    from crawtext_ray.stages.dedup import minhash_verified_duplicates
+    from crawtext_ray.stages.dedup import (
+        jaccard_dups_brute,
+        minhash_verified_duplicates,
+    )
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
-    return minhash_verified_duplicates(docs, shingle_k=3, threshold=0.5)
+    out = minhash_verified_duplicates(docs, shingle_k=3, threshold=0.5)
+    got = out.to_pandas()
+    if got.empty:
+        got = pd.DataFrame({
+            "doc_id_a": pd.Series([], dtype="int64"),
+            "doc_id_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        })
+    if docs.count() <= 20_000:  # the diagnostic is O(n²) by design
+        brute = jaccard_dups_brute(docs, k=3, threshold=0.5).to_pandas()
+        lsh_pairs = {(int(r["doc_id_a"]), int(r["doc_id_b"]), r["jaccard"])
+                     for _, r in got.iterrows()}
+        brute_pairs = {(int(r["doc_id_a"]), int(r["doc_id_b"]), r["jaccard"])
+                       for _, r in brute.iterrows()}
+        assert lsh_pairs == brute_pairs, (
+            f"LSH+verify != brute truth: only-lsh={lsh_pairs - brute_pairs} "
+            f"only-brute={brute_pairs - lsh_pairs}"
+        )
+    return got
 
 
 def _q_simhash_dups(sf_dir: str):
@@ -331,31 +379,6 @@ def _q_pdf_extract(sf_dir: str):
     )
 
 
-def _q_audio_segments(sf_dir: str):
-    """Audio segmentation plumbing over fake payloads (codec stubbed):
-    fixed 10 s windows over the fake duration model."""
-    import pyarrow as pa
-    import ray.data as rd
-
-    from crawtext_ray.stages.multimodal import audio_segments
-
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-
-    def to_media(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "media_id": batch["doc_id"],
-            "payload": pa.array(
-                [(t or "").encode() for t in batch["text"].to_pylist()],
-                pa.binary(),
-            ),
-        })
-
-    media = docs.map_batches(to_media, batch_format="pyarrow",
-                             zero_copy_batch=True)
-    return audio_segments(media, window_ms=10_000)
-
-
 def _q_approx_distinct_users(sf_dir: str):
     """HyperLogLog distinct-user estimate (rows-only: deterministic but
     approximate, no SQL analog; accuracy + determinism are pytest-bound).
@@ -371,62 +394,162 @@ def _q_approx_distinct_users(sf_dir: str):
     return pd.DataFrame({"approx_distinct": [float(h.estimate())]})
 
 
-def _q_frame_samples(sf_dir: str):
-    """Video frame-sampling plumbing over fake payloads. Payloads are
-    ASCII-sanitized text bytes so the byte-based frame slicing equals the
-    character-based SQL oracle (sha256/substr are VARCHAR-only in
-    DuckDB); the operator itself stays byte-based for real codecs."""
+def _q_set_ops(sf_dir: str):
+    """U1/U2 set operations in one slot (merged from the
+    ``union_clicks_views`` + ``users_click_and_purchase`` pair — both
+    operators still run in full): UNION ALL of click/view event ids and
+    INTERSECT of clicking-and-purchasing user ids, tagged by kind."""
+    import pyarrow as pa
+
+    from crawtext_ray.stages import relational as R
+
+    def tag(ds, kind: str, id_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "kind": pa.array([kind] * t.num_rows, pa.string()),
+                "id": t[id_col].cast(pa.int64()),
+            })
+
+        return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    u = tag(R.union_clicks_views(sf_dir), "click_or_view_event", "event_id")
+    i = tag(R.users_click_and_purchase(sf_dir), "click_and_purchase_user",
+            "user_id")
+    return u.union(i)
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination flags (the eval-overlap drop step of an
+    LLM training-data pipeline): the benchmark is derived from the corpus
+    itself — the first 200 chars of every 97th document — so the SQL
+    oracle can rebuild the exact same eval set and the planted overlaps
+    are guaranteed. The operator probes a broadcast hashed 8-gram set;
+    the oracle intersects the grams as strings (hash-collision-free), so
+    the match also witnesses collision-freeness on this corpus."""
     import pyarrow as pa
     import ray.data as rd
 
-    from crawtext_ray.stages.multimodal import sample_frames
+    from crawtext_ray.stages.textops import contamination_flags
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
-    def to_media(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "media_id": batch["doc_id"],
-                "payload": pa.array(
-                    [(t or "").encode("ascii", "ignore")
-                     for t in batch["text"].to_pylist()],
-                    pa.binary(),
-                ),
-            }
-        )
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
 
-    media = docs.map_batches(to_media, batch_format="pyarrow",
+    bench_rows = docs.map_batches(pick, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all()
+    benchmark = [(r["text"] or "")[:200] for r in bench_rows]
+    return contamination_flags(docs, benchmark, n=8)
+
+
+def _q_repetition_stats(sf_dir: str):
+    """Within-document repetition measures (Gopher/C4 duplicate-line
+    gates). Corpus texts are single-line, so sentences are split onto
+    lines first ('. ' → '.\\n', mirrored in the SQL) to exercise the
+    line machinery on real multi-line documents."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from crawtext_ray.stages.textops import repetition_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def to_lines(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pc.replace_substring(t["text"], ". ", ".\n"),
+        })
+
+    lined = docs.map_batches(to_lines, batch_format="pyarrow",
                              zero_copy_batch=True)
-    return sample_frames(media, every_n=10)
+    return repetition_stats(lined)
+
+
+def _q_unigram_lm(sf_dir: str):
+    """Unigram-LM cross-entropy quality scores (CCNet-shape): map-side
+    trained token model (top-1000 vocab, Lidstone 0.5, shared OOV
+    bucket) broadcast once, vectorized streaming scorer. nll rounded to
+    6 dp on both sides (summation order differs between numpy and the
+    SQL aggregate at ~1e-15; the definition itself is pinned exactly by
+    the pytest differential against an independent model)."""
+    import ray.data as rd
+
+    from crawtext_ray.stages.textops import unigram_lm_scores
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    df = unigram_lm_scores(docs, vocab_size=1000, alpha=0.5).to_pandas()
+    df["nll"] = df["nll"].round(6)
+    return df
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Per-stratum quota sampling (language rebalancing): keep a row iff
+    the first two md5 bytes of its id fall under the stratum's rate —
+    deterministic, so the SQL oracle selects the identical rows."""
+    import ray.data as rd
+
+    from crawtext_ray.stages.textops import stratified_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    rates = {"en": 0.25, "zh": 0.0, "fr": 1.0}
+    return stratified_sample(docs, rates, default_rate=0.5)
 
 
 def _q_bfs_crawl(sf_dir: str):
-    """T2 BFS rounds over the synthetic pages corpus (rows-only)."""
+    """T2 BFS over a PLANTED link graph with generator-computed ground
+    truth (fixtures/gen_linked.py): the generator plants each page's
+    ``<a href>`` targets (tree + cross edges, dangling urls, in-page
+    duplicates) and computes the reachable (url, depth) set by plain
+    graph BFS over that adjacency — independent of the code under test.
+    The query runs the full chain (HTML render → outlink extraction →
+    canonicalization → frontier anti-join → depth rounds) and must
+    reproduce exactly the planted set. ORACLE-CHECKED (was rows-only)."""
+    import pandas as pd
     import ray.data as rd
 
     from crawtext_ray.stages.frontier import bfs_crawl
+    from fixtures.gen_linked import generate_linked, node_url
 
-    pages = rd.read_parquet(_pages_dir(sf_dir))
-    seeds = [r["url"] for r in pages.take(3)]
-    rounds, _seen = bfs_crawl(pages, seeds, max_depth=1)
-    out = rounds[0]
-    for r in rounds[1:]:
-        out = out.union(r)
-    return out.select_columns(["url", "status", "n_words"])
+    pages = rd.read_parquet(generate_linked(_FIXTURE_ROOT),
+                            file_extensions=["parquet"])
+    rounds, _seen = bfs_crawl(pages, [node_url(0)], max_depth=2)
+    parts = []
+    for depth, arts in enumerate(rounds):
+        urls = arts.select_columns(["url"]).to_pandas()
+        urls["depth"] = depth
+        parts.append(urls)
+    out = pd.concat(parts, ignore_index=True)
+    out["depth"] = out["depth"].astype("int64")
+    return out
 
 
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing: documents.text bytes as fake binary payloads
     → decode/feature actor stage + resize actor stage, joined on media_id
-    into one wide feature row (decode kernels stubbed: no image libs;
-    merged from two query slots)."""
+    into one wide feature row (decode kernels stubbed: no image libs).
+
+    Merged slots, never dropped: the video frame-sampling and audio
+    segmentation operators (formerly ``frame_samples`` and
+    ``audio_segments_docs``) run in full and land as per-media DIGEST
+    columns — sha256 over the ordered frame hashes / segment rows — so
+    any change to any frame hash or segment boundary still flips the
+    oracle, in one row per media."""
+    import hashlib
+
     import pyarrow as pa
     import ray.data as rd
 
     from crawtext_ray.stages.multimodal import (
+        audio_segments,
         decode_image_features,
         resize_images,
+        sample_frames,
     )
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -441,6 +564,21 @@ def _q_media_features(sf_dir: str):
                     pa.binary(),
                 ),
                 "mime": pa.array(["image/fake"] * batch.num_rows, pa.string()),
+            }
+        )
+
+    def to_media_ascii(batch: pa.Table) -> pa.Table:
+        # the frame sampler's payloads are ASCII-sanitized so byte-based
+        # slicing equals the character-based SQL (sha256/substr are
+        # VARCHAR-only in DuckDB); the operator stays byte-based
+        return pa.table(
+            {
+                "media_id": batch["doc_id"],
+                "payload": pa.array(
+                    [(t or "").encode("ascii", "ignore")
+                     for t in batch["text"].to_pylist()],
+                    pa.binary(),
+                ),
             }
         )
 
@@ -459,24 +597,57 @@ def _q_media_features(sf_dir: str):
         num_partitions=4,
         on=("media_id",),
         right_on=("media_id_r",),
-    )
-    return joined.select_columns(
+    ).select_columns(
         ["media_id", "sha256", "n_bytes", "width", "height", "mean_luma",
          "out_width", "out_height", "resized_sha"]
+    ).to_pandas()
+
+    def sha_concat(parts) -> str:
+        return hashlib.sha256("".join(parts).encode()).hexdigest()
+
+    media_ascii = docs.map_batches(to_media_ascii, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    fr = sample_frames(media_ascii, every_n=10).to_pandas().sort_values(
+        ["media_id", "frame_index"]
     )
+    fdig = fr.groupby("media_id").agg(
+        n_frames=("frame_sha", "size"),
+        frames_digest=("frame_sha", sha_concat),
+    ).reset_index()
+
+    au = audio_segments(media, window_ms=10_000).to_pandas()
+    au["seg_row"] = (au["seg_index"].astype(str) + ":"
+                     + au["t_start_ms"].astype(str) + ":"
+                     + au["t_end_ms"].astype(str))
+    au = au.sort_values(["media_id", "seg_index"])
+    adig = au.groupby("media_id").agg(
+        n_segments=("seg_row", "size"),
+        segments_digest=("seg_row", lambda s: hashlib.sha256(
+            "|".join(s).encode()).hexdigest()),
+    ).reset_index()
+
+    out = joined.merge(fdig, on="media_id").merge(adig, on="media_id")
+    assert len(out) == len(joined), "every media has >=1 frame and segment"
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawtext_ray.stages import relational as R
 
     # EXACTLY 50 entries (the driver's correctness harness runs the first
-    # 50 in dict order): all 43 oracle-backed queries first, then the 7
+    # 50 in dict order): all 47 oracle-backed queries first, then the 3
     # rows-only ones. Redundant slots were merged, never dropped:
     # word_counts+quality_ints → doc_stats; window_running/lag/sliding →
     # window_funcs; distinct_users_count → global_event_stats column;
-    # media_features+resize_images_docs → media_features (wide);
+    # media_features+resize_images_docs+frame_samples+audio_segments →
+    # media_features (wide row + per-media digest columns);
     # ann_lsh_topk+ann_ivf_topk → ann_topk (method column); the extract
-    # report trio → extract_reports (kind column).
+    # report trio → extract_reports (kind column, now oracle-checked
+    # against generator truth); union_clicks_views+users_click_and_purchase
+    # → set_ops_events (kind column); jaccard_dups_brute → an in-query
+    # equality assertion inside minhash_dups_docs. The freed slots carry
+    # the round-3 curation operators (decontamination, repetition stats,
+    # unigram-LM scoring, stratified sampling), each oracle-backed.
     return {
         # A1/A2/T1/U2 reports + distinct (oracle-checked)
         "report_lang": R.report_lang_docs,
@@ -507,17 +678,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_chars": R.median_chars_by_lang,
         # global aggregate (+ exact distinct users) + set ops (oracle-checked)
         "global_event_stats": R.global_event_stats,
-        "union_clicks_views": R.union_clicks_views,
-        "users_click_and_purchase": R.users_click_and_purchase,
+        "set_ops_events": _q_set_ops,
         # similarity: exact top-k (oracle-checked)
         "embedding_topk": R.embedding_topk_exact,
         # dedup family over documents (ALL oracle-checked: exact dedup,
-        # verified minhash/simhash near-dup, brute diagnostic, planted
-        # embedding dedup)
+        # verified minhash/simhash near-dup with the brute diagnostic
+        # asserted in-query, planted embedding dedup)
         "exact_dedup_docs": _q_exact_dedup,
         "minhash_dups_docs": _q_minhash_dups,
         "simhash_dups_docs": _q_simhash_dups,
-        "jaccard_dups_brute": _q_jaccard_brute,
         "embedding_dedup": _q_embedding_dedup,
         # text analysis (oracle-checked, incl. the rolling fingerprint)
         "relevance_match": _q_relevance,
@@ -532,15 +701,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocabulary_topk": _q_vocabulary,
         "chunk_docs": _q_chunk_docs,
         "parts_by_brand_nation": R.parts_by_brand_nation,
-        # multimodal plumbing (oracle-checked over fake kernels)
+        # LLM-curation operators (oracle-checked; freed-slot additions)
+        "decontaminate_docs": _q_decontaminate,
+        "repetition_stats_docs": _q_repetition_stats,
+        "unigram_lm_docs": _q_unigram_lm,
+        "stratified_sample_docs": _q_stratified_sample,
+        # multimodal plumbing (oracle-checked over fake kernels; frames +
+        # audio segments merged in as digest columns)
         "media_features": _q_media_features,
-        "frame_samples": _q_frame_samples,
-        "audio_segments_docs": _q_audio_segments,
         "pdf_extract": _q_pdf_extract,
-        # ---- rows-only tail (7): non-SQL or approximate by construction
-        "extract_articles": _q_extract_articles,
+        # flagship pipelines with planted generator truth (oracle-checked)
         "extract_reports": _q_extract_reports,
         "bfs_crawl_pages": _q_bfs_crawl,
+        # ---- rows-only tail (3): non-SQL or approximate by construction
+        "extract_articles": _q_extract_articles,
         "ann_topk": _q_ann_topk,
         "approx_distinct_users": _q_approx_distinct_users,
     }
@@ -577,6 +751,21 @@ def _lang_hits_sql() -> tuple[str, str]:
         + " ELSE 'und' END"
     )
     return hit_cols, case
+
+
+def _grams_sql(n: int) -> str:
+    """SQL expression building a doc's distinct word ``n``-gram list from
+    a ``toks`` column — the string analog of dedup._shingle_array
+    (shorter-than-n docs contribute their whole-token-list gram)."""
+    window = " || ' ' || ".join(
+        f"toks[i+{j}]" if j else "toks[i]" for j in range(n)
+    )
+    return (
+        "CASE WHEN len(toks) = 0 THEN [] "
+        f"WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')] "
+        "ELSE list_distinct(list_transform("
+        f"generate_series(1, len(toks) - {n - 1}), i -> {window})) END"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -722,13 +911,14 @@ def oracle_sql() -> dict[str, str]:
             "max(event_id) AS max_event_id, "
             "count(DISTINCT user_id) AS n_distinct_users FROM events"
         ),
-        "union_clicks_views": (
-            "SELECT event_id FROM events WHERE event_type = 'click' "
-            "UNION ALL SELECT event_id FROM events WHERE event_type = 'view'"
-        ),
-        "users_click_and_purchase": (
-            "SELECT user_id FROM events WHERE event_type = 'click' "
-            "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'"
+        "set_ops_events": (
+            "SELECT 'click_or_view_event' AS kind, event_id AS id "
+            "FROM events WHERE event_type = 'click' "
+            "UNION ALL SELECT 'click_or_view_event' AS kind, event_id AS id "
+            "FROM events WHERE event_type = 'view' "
+            "UNION ALL SELECT 'click_and_purchase_user' AS kind, user_id AS id "
+            "FROM (SELECT user_id FROM events WHERE event_type = 'click' "
+            "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase')"
         ),
         "embedding_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3), "
@@ -799,36 +989,60 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor((len(toks) - 1) / 48) AS BIGINT))) AS u(k) "
             "WHERE len(toks) >= 1"
         ),
-        "audio_segments_docs": 'WITH m AS (SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS nb FROM documents), d AS (SELECT media_id, greatest(1, CAST(floor(nb / 16) AS BIGINT)) AS dur FROM m) SELECT media_id, k AS seg_index, k * 10000 AS t_start_ms, least(k * 10000 + 10000, dur) AS t_end_ms FROM d, UNNEST(generate_series(0, CAST(floor((dur - 1) / 10000) AS BIGINT))) AS u(k)',
-        "media_features": 'WITH m AS (SELECT doc_id AS media_id, text, sha256(text) AS h, octet_length(CAST(text AS BLOB)) AS nb FROM documents), b AS (SELECT media_id, text, h, nb, (strpos(\'0123456789abcdef\', substr(h, 1, 1)) - 1) * 16 + (strpos(\'0123456789abcdef\', substr(h, 2, 1)) - 1) AS b0, (strpos(\'0123456789abcdef\', substr(h, 3, 1)) - 1) * 16 + (strpos(\'0123456789abcdef\', substr(h, 4, 1)) - 1) AS b1, (strpos(\'0123456789abcdef\', substr(h, 5, 1)) - 1) * 16 + (strpos(\'0123456789abcdef\', substr(h, 6, 1)) - 1) AS b2 FROM m), d AS (SELECT media_id, text, h, nb, CAST(64 + b0 % 192 AS BIGINT) AS width, CAST(64 + b1 % 192 AS BIGINT) AS height, b2 / 255.0 AS mean_luma FROM b), r AS (SELECT *, greatest(width, height) AS side FROM d), o AS (SELECT media_id, text, h, nb, width, height, mean_luma, CASE WHEN side <= 256 THEN width ELSE greatest(1, CAST(floor(width * 256.0 / side) AS BIGINT)) END AS out_width, CASE WHEN side <= 256 THEN height ELSE greatest(1, CAST(floor(height * 256.0 / side) AS BIGINT)) END AS out_height FROM r) SELECT media_id, h AS "sha256", CAST(nb AS BIGINT) AS n_bytes, width, height, mean_luma, out_width, out_height, sha256(text || \'|\' || out_width || \'x\' || out_height) AS resized_sha FROM o',
-        "frame_samples": (
-            "WITH m AS (SELECT doc_id AS media_id, "
+        # the wide multimodal row: image features + resize + the merged
+        # frame-sampling and audio-segmentation operators as per-media
+        # digests (sha256 over the ordered frame hashes / segment rows)
+        "media_features": (
+            "WITH m AS (SELECT doc_id AS media_id, text, sha256(text) AS h, "
+            "octet_length(CAST(text AS BLOB)) AS nb FROM documents), "
+            "b AS (SELECT media_id, text, h, nb, "
+            "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 "
+            "+ (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS b0, "
+            "(strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 "
+            "+ (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS b1, "
+            "(strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 "
+            "+ (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) AS b2 FROM m), "
+            "d AS (SELECT media_id, text, h, nb, "
+            "CAST(64 + b0 % 192 AS BIGINT) AS width, "
+            "CAST(64 + b1 % 192 AS BIGINT) AS height, "
+            "b2 / 255.0 AS mean_luma FROM b), "
+            "r AS (SELECT *, greatest(width, height) AS side FROM d), "
+            "o AS (SELECT media_id, text, h, nb, width, height, mean_luma, "
+            "CASE WHEN side <= 256 THEN width ELSE greatest(1, "
+            "CAST(floor(width * 256.0 / side) AS BIGINT)) END AS out_width, "
+            "CASE WHEN side <= 256 THEN height ELSE greatest(1, "
+            "CAST(floor(height * 256.0 / side) AS BIGINT)) END AS out_height "
+            "FROM r), "
+            "fm AS (SELECT doc_id AS media_id, "
             r"regexp_replace(text, '[^\x00-\x7f]', '', 'g') AS p FROM documents), "
-            "f AS (SELECT media_id, p, greatest(1, "
-            "CAST(floor(length(p) / 1024) AS BIGINT)) AS n_frames FROM m) "
-            "SELECT media_id, k AS frame_index, "
+            "ff AS (SELECT media_id, p, greatest(1, "
+            "CAST(floor(length(p) / 1024) AS BIGINT)) AS nf FROM fm), "
+            "fs AS (SELECT media_id, k AS frame_index, "
             "sha256(substr(p, k * 1024 + 1, 1024)) AS frame_sha "
-            "FROM f, UNNEST(generate_series(0, n_frames - 1, 10)) AS u(k)"
+            "FROM ff, UNNEST(generate_series(0, nf - 1, 10)) AS u(k)), "
+            "fd AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames, "
+            "sha256(string_agg(frame_sha, '' ORDER BY frame_index)) "
+            "AS frames_digest FROM fs GROUP BY media_id), "
+            "ad AS (SELECT media_id, greatest(1, CAST(floor(nb / 16) AS BIGINT)) "
+            "AS dur FROM m), "
+            "aseg AS (SELECT media_id, k AS seg_index, k * 10000 AS t_start_ms, "
+            "least(k * 10000 + 10000, dur) AS t_end_ms FROM ad, "
+            "UNNEST(generate_series(0, CAST(floor((dur - 1) / 10000) AS BIGINT))) "
+            "AS u(k)), "
+            "adg AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_segments, "
+            "sha256(string_agg(seg_index || ':' || t_start_ms || ':' || t_end_ms, "
+            "'|' ORDER BY seg_index)) AS segments_digest "
+            "FROM aseg GROUP BY media_id) "
+            'SELECT o.media_id, o.h AS "sha256", CAST(o.nb AS BIGINT) AS n_bytes, '
+            "o.width, o.height, o.mean_luma, o.out_width, o.out_height, "
+            "sha256(o.text || '|' || o.out_width || 'x' || o.out_height) "
+            "AS resized_sha, fd.n_frames, fd.frames_digest, "
+            "adg.n_segments, adg.segments_digest "
+            "FROM o JOIN fd ON fd.media_id = o.media_id "
+            "JOIN adg ON adg.media_id = o.media_id"
         ),
         "lang_id_docs": _LANG_ID_SQL,
         "text_features_docs": _TEXT_FEATURES_SQL,
-        "jaccard_dups_brute": (
-            "WITH t AS (SELECT doc_id, list_filter("
-            "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
-            "FROM documents), "
-            "s AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN [] "
-            "WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
-            "ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2), "
-            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh FROM t) "
-            "SELECT * FROM ("
-            "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
-            "CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0 "
-            "WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN 0.0 "
-            "ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) "
-            "/ len(list_distinct(list_concat(a.sh, b.sh))) END AS jaccard "
-            "FROM s a JOIN s b ON a.doc_id < b.doc_id) "
-            "WHERE jaccard >= 0.5"
-        ),
         # verified-minhash near-dup: on this corpus LSH recall is total
         # (all true pairs ≥ 0.88 jaccard vs threshold 0.5; pinned by a
         # pytest planted-pair equality test), so the exact Jaccard truth
@@ -919,5 +1133,101 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "JOIN supplier ON l_suppkey = s_suppkey "
             "JOIN nation ON s_nationkey = n_nationkey GROUP BY 1, 2"
+        ),
+        # decontamination: benchmark = first 200 chars of every 97th doc,
+        # grams intersected as STRINGS (hash-collision-free), so a match
+        # also witnesses the hashed probe's collision-freeness here
+        "decontaminate_docs": (
+            "WITH t AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') "
+            "AS toks FROM documents), "
+            f"g AS (SELECT doc_id, {_grams_sql(8)} AS sh FROM t), "
+            "bt AS (SELECT list_filter(regexp_split_to_array("
+            "lower(substr(text, 1, 200)), '[^a-z0-9]+'), x -> x <> '') AS toks "
+            "FROM documents WHERE doc_id % 97 = 0), "
+            f"bg AS (SELECT {_grams_sql(8)} AS sh FROM bt), "
+            "bench AS (SELECT DISTINCT gr FROM bg, UNNEST(sh) AS u(gr)), "
+            "hits AS (SELECT dg.doc_id, count(*) AS n FROM "
+            "(SELECT doc_id, unnest(sh) AS gr FROM g) dg "
+            "JOIN bench ON bench.gr = dg.gr GROUP BY dg.doc_id) "
+            "SELECT t.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits, "
+            "COALESCE(h.n, 0) > 0 AS contaminated "
+            "FROM t LEFT JOIN hits h ON h.doc_id = t.doc_id"
+        ),
+        # repetition measures over sentence-split lines ('. ' -> '.\n',
+        # mirroring the query's transform)
+        "repetition_stats_docs": (
+            "WITH src AS (SELECT doc_id, replace(text, '. ', '.' || chr(10)) "
+            "AS text FROM documents), "
+            "lines AS (SELECT doc_id, ln FROM (SELECT doc_id, "
+            "unnest(string_split(text, chr(10))) AS ln FROM src) "
+            "WHERE ln <> ''), "
+            "per_line AS (SELECT doc_id, ln, count(*) AS c FROM lines "
+            "GROUP BY doc_id, ln), "
+            "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines, "
+            "1.0 - CAST(count(*) AS DOUBLE) / sum(c) AS dup_line_frac, "
+            "CAST(coalesce(sum(CASE WHEN c > 1 THEN length(ln) * c END), 0) "
+            "AS DOUBLE) / sum(length(ln) * c) AS dup_char_frac "
+            "FROM per_line GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(a.n_lines, 0) AS n_lines, "
+            "COALESCE(a.dup_line_frac, 0.0) AS dup_line_frac, "
+            "COALESCE(a.dup_char_frac, 0.0) AS dup_char_frac "
+            "FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"
+        ),
+        # unigram-LM cross-entropy: top-1000 vocab by (count desc, token
+        # asc), Lidstone alpha=0.5 with one shared OOV bucket; nll
+        # rounded to 6 dp on both sides (summation-order noise ~1e-15)
+        "unigram_lm_docs": (
+            "WITH t AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') "
+            "AS toks FROM documents), "
+            "u AS (SELECT unnest(toks) AS tok FROM t), "
+            "c AS (SELECT tok, count(*) AS n FROM u GROUP BY tok), "
+            "top AS (SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 1000), "
+            "p AS (SELECT CAST(sum(n) AS DOUBLE) AS total, "
+            "CAST(count(*) AS DOUBLE) AS v FROM top), "
+            "lp AS (SELECT tok, ln((CAST(n AS DOUBLE) + 0.5) "
+            "/ (p.total + 0.5 * (p.v + 1))) AS logp FROM top, p), "
+            "oo AS (SELECT ln(0.5 / (p.total + 0.5 * (p.v + 1))) AS logp "
+            "FROM p), "
+            "dt AS (SELECT doc_id, unnest(toks) AS tok FROM t), "
+            "sc AS (SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "avg(-COALESCE(lp.logp, oo.logp)) AS nll "
+            "FROM dt LEFT JOIN lp ON lp.tok = dt.tok CROSS JOIN oo "
+            "GROUP BY dt.doc_id) "
+            "SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens, "
+            "round(COALESCE(sc.nll, 0.0), 6) AS nll "
+            "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"
+        ),
+        # same md5 arithmetic as the operator: first two digest bytes as
+        # a big-endian int under 65536 * rate
+        "stratified_sample_docs": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) "
+            "AS UBIGINT)) "
+            "< CASE lang WHEN 'en' THEN 16384 WHEN 'zh' THEN 0 "
+            "WHEN 'fr' THEN 65536 ELSE 32768 END"
+        ),
+        # planted generator truth (fixtures/gen_pages.py truth_<name>/):
+        # expected lang/status per url, independent of the extractor.
+        # check_oracle rewrites _small -> _mid for sf0.1 runs.
+        "extract_reports": (
+            "WITH t AS (SELECT url, expected_status, expected_lang "
+            f"FROM read_parquet('{_FIXTURE_ROOT}/truth_small/*.parquet')) "
+            "SELECT 'lang' AS kind, expected_lang AS key, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM t GROUP BY 2 "
+            "UNION ALL SELECT 'status' AS kind, expected_status AS key, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM t "
+            "WHERE expected_status <> 'any' GROUP BY 2 "
+            "UNION ALL SELECT 'domain' AS kind, key, n_docs FROM ("
+            "SELECT split_part(url, '/', 3) AS key, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM t "
+            "GROUP BY 1 ORDER BY n_docs DESC, key LIMIT 10)"
+        ),
+        # planted link-graph truth (fixtures/gen_linked.py): reachable
+        # (url, depth) from node 0 by graph BFS over the planted adjacency
+        "bfs_crawl_pages": (
+            "SELECT url, depth FROM "
+            f"read_parquet('{_FIXTURE_ROOT}/truth_linked/*.parquet')"
         ),
     }

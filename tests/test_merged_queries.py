@@ -57,3 +57,82 @@ def test_extract_reports_matches_individual_reports(ray_session):
     assert langs == {"en": 536, "fr": 213, "de": 138, "es": 113}
     assert (df[df["kind"] == "domain"]["n_docs"] > 0).all()
     assert len(df[df["kind"] == "domain"]) == 10
+
+
+def test_set_ops_equals_pair(ray_session):
+    import __ray_entry__ as m
+    from crawtext_ray.stages import relational as R
+
+    df = m.queries()["set_ops_events"](SF).to_pandas()
+    u = R.union_clicks_views(SF).to_pandas()["event_id"]
+    i = R.users_click_and_purchase(SF).to_pandas()["user_id"]
+    got_u = sorted(df[df["kind"] == "click_or_view_event"]["id"])
+    got_i = sorted(df[df["kind"] == "click_and_purchase_user"]["id"])
+    assert got_u == sorted(u)
+    assert got_i == sorted(i)
+
+
+def test_media_features_carries_frame_and_audio_digests(ray_session):
+    """The merged multimodal row must pin the full frame/audio outputs:
+    per-media counts match the standalone operators and the digests are
+    sha256 over their ordered rows."""
+    import hashlib
+
+    import __ray_entry__ as m
+    from crawtext_ray.stages.multimodal import audio_segments, sample_frames
+    import pyarrow as pa
+    import ray.data as rd
+
+    df = m.queries()["media_features"](SF)
+    assert {"n_frames", "frames_digest", "n_segments",
+            "segments_digest"} <= set(df.columns)
+    assert (df["n_frames"] >= 1).all() and (df["n_segments"] >= 1).all()
+    assert df["frames_digest"].str.fullmatch("[0-9a-f]{64}").all()
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"]).limit(5)
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch["doc_id"],
+            "payload": pa.array(
+                [(t or "").encode("ascii", "ignore")
+                 for t in batch["text"].to_pylist()], pa.binary()),
+        })
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    fr = sample_frames(media, every_n=10).to_pandas().sort_values(
+        ["media_id", "frame_index"])
+    for mid, grp in fr.groupby("media_id"):
+        want = hashlib.sha256("".join(grp["frame_sha"]).encode()).hexdigest()
+        row = df[df["media_id"] == mid].iloc[0]
+        assert row["frames_digest"] == want
+        assert row["n_frames"] == len(grp)
+
+
+def test_bfs_crawl_query_matches_planted_truth(ray_session):
+    """The full BFS chain reproduces the generator's graph-BFS truth
+    (independent of the extraction pipeline)."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as m
+    from fixtures.gen_linked import bfs_truth, node_url
+
+    got = m.queries()["bfs_crawl_pages"](SF)
+    got_set = {(r["url"], r["depth"]) for _, r in got.iterrows()}
+    depth = bfs_truth([0], 2)
+    want = {(node_url(i), d) for i, d in depth.items()}
+    assert got_set == want
+    truth_path = "/tmp/crawtext_ray_fixtures/truth_linked"
+    tru = pq.read_table(truth_path).to_pylist()
+    assert {(r["url"], r["depth"]) for r in tru} == want
+
+
+def test_queries_contract_shape(ray_session):
+    """Driver cap: exactly 50 entries, oracles are a subset, 47 oracled."""
+    import __ray_entry__ as m
+
+    q, o = m.queries(), m.oracle_sql()
+    assert len(q) == 50
+    assert set(o) <= set(q)
+    assert len(o) == 47

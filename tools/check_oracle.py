@@ -72,6 +72,15 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if args.sf.rstrip("/").endswith("sf0.1"):
+        # the planted-truth oracles embed the sf0.01 fixture name (the
+        # driver's contract scale); at sf0.1 the queries run over the
+        # "mid" fixture, so point the truth reads at it too
+        oracles = {
+            k: v.replace("truth_small", "truth_mid")
+                .replace("pages_small", "pages_mid")
+            for k, v in oracles.items()
+        }
     failures = 0
     for name, fn in qs.items():
         if args.only and name != args.only:
