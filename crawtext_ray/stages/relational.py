@@ -520,22 +520,43 @@ def asof_click_before_purchase(sf_dir: str):
     return keep.groupby("user_id").map_groups(merge, batch_format="pandas")
 
 
-def sample_docs_deterministic(sf_dir: str, pct: int = 10):
-    """T3 sampling, the reproducible form: keep a doc iff the first byte
-    of md5(str(doc_id)) falls in the lowest ``pct``% of the byte range —
-    a deterministic hash sample that every rerun (and the DuckDB oracle)
-    selects identically. Use Ray-native ``ds.random_sample`` when
-    statistical (non-reproducible) sampling is wanted."""
+def sample_docs_deterministic(sf_dir: str, pct: int = 10,
+                              method: str = "md5"):
+    """T3 sampling, the reproducible form: keep a doc iff its id hash
+    falls in the lowest ``pct``% of the range — a deterministic hash
+    sample that every rerun selects identically. Use Ray-native
+    ``ds.random_sample`` when statistical (non-reproducible) sampling is
+    wanted.
+
+    ``method="md5"`` (default): first byte of md5(str(doc_id)) — the
+    ORACLE-EXACT mode (DuckDB reproduces it bit-for-bit), one md5 call
+    per row. ``method="splitmix64"``: top 8 bits of the vectorized
+    splitmix64 finalizer — the PRODUCTION mode for 10^12-row corpora
+    (~70x faster, zero Python per row); integer ids only."""
     import hashlib
+
+    import numpy as np
 
     cut = 256 * pct // 100
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        keep = [
-            hashlib.md5(str(i).encode()).digest()[0] < cut for i in ids
-        ]
-        return batch.filter(pa.array(keep, pa.bool_()))
+        if batch.num_rows == 0:
+            return batch
+        if method == "splitmix64":
+            from .partitioning import splitmix64
+
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            keep = (splitmix64(ids) >> np.uint64(56)).astype(np.int64) < cut
+            return batch.filter(pa.array(keep))
+        # md5 mode: one digest per id is the irreducible Python (oracle
+        # parity pins md5); digests land in ONE buffer, the compare runs
+        # vectorized (the partitioning._hash_urls pattern)
+        buf = b"".join(
+            hashlib.md5(str(i).encode()).digest()[:1]
+            for i in batch["doc_id"].to_pylist()
+        )
+        keep = np.frombuffer(buf, dtype=np.uint8) < cut
+        return batch.filter(pa.array(keep))
 
     return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True

@@ -522,29 +522,56 @@ def unigram_lm_scores(docs, text_col: str = "text", id_col: str = "doc_id",
 
 def stratified_sample(docs, rates: dict, strata_col: str = "lang",
                       id_col: str = "doc_id",
-                      default_rate: float = 1.0):
+                      default_rate: float = 1.0,
+                      method: str = "md5"):
     """Per-stratum quota sampling (e.g. language rebalancing of a
-    pretraining mix): keep a row iff the first two bytes of
-    md5(str(id)) fall under its stratum's rate — the same deterministic
-    hash-sampling scheme as T3's `sample_docs_deterministic`, so every
-    rerun (and a SQL oracle) selects the identical rows. Pure streaming
-    per-batch filter: no shuffle, no per-stratum pass; strata not in
-    ``rates`` use ``default_rate``. Rates are fractions in [0, 1],
-    quantized to 1/65536."""
+    pretraining mix): keep a row iff the row's id hash falls under its
+    stratum's rate — deterministic, so every rerun selects the identical
+    rows. Pure streaming per-batch filter: no shuffle, no per-stratum
+    pass; strata not in ``rates`` use ``default_rate``. Rates are
+    fractions in [0, 1], quantized to 1/65536.
+
+    ``method="md5"`` (default): first two bytes of md5(str(id)) — the
+    ORACLE-EXACT mode (same scheme as T3's sample_docs_deterministic;
+    DuckDB reproduces it bit-for-bit), one md5 call per row.
+    ``method="splitmix64"``: top 16 bits of the vectorized splitmix64
+    finalizer over integer ids — the PRODUCTION mode for 10^12-row
+    corpora (~70x faster, zero Python per row); integer ids only."""
     import hashlib
+
+    import numpy as np
 
     cuts = {k: int(65536 * v) for k, v in rates.items()}
     default_cut = int(65536 * default_rate)
 
+    def hash16(batch: pa.Table) -> "np.ndarray":
+        if method == "splitmix64":
+            from .partitioning import splitmix64
+
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            if not np.issubdtype(ids.dtype, np.integer):
+                raise TypeError(
+                    "splitmix64 sampling needs integer ids; use "
+                    "method='md5' for string ids"
+                )
+            return (splitmix64(ids) >> np.uint64(48)).astype(np.int64)
+        # md5 mode: one digest per id is the irreducible Python (oracle
+        # parity pins md5); digests land in ONE buffer decoded by a
+        # single frombuffer (partitioning._hash_urls pattern)
+        buf = b"".join(
+            hashlib.md5(str(i).encode()).digest()[:2]
+            for i in batch[id_col].to_pylist()
+        )
+        return np.frombuffer(buf, dtype=">u2")
+
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
+        if batch.num_rows == 0:
+            return batch
         strata = batch[strata_col].to_pylist()
-        keep = [
-            int.from_bytes(
-                hashlib.md5(str(i).encode()).digest()[:2], "big"
-            ) < cuts.get(s, default_cut)
-            for i, s in zip(ids, strata)
-        ]
-        return batch.filter(pa.array(keep, pa.bool_()))
+        cut = np.fromiter(
+            (cuts.get(s, default_cut) for s in strata),
+            dtype=np.int64, count=len(strata),
+        )
+        return batch.filter(pa.array(hash16(batch) < cut))
 
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -396,3 +396,50 @@ def test_curate_clears_stale_checkpoint(ray_session, pages_small, tmp_path):
     assert not df["url"].str.contains("stale.example").any()
     # no duplicated row identity survived to the sink
     assert df["content_sha256"].map(bytes).is_unique
+
+
+def test_splitmix64_sampling_mode(ray_session):
+    """Production sampling mode: vectorized splitmix64 matches an
+    independent scalar implementation, is rerun-deterministic, hits the
+    requested rates, and rejects string ids."""
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from crawtext_ray.stages.partitioning import splitmix64
+    from crawtext_ray.stages.textops import stratified_sample
+
+    # differential vs independent scalar form (Steele et al. constants)
+    def scalar(x: int) -> int:
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return x ^ (x >> 31)
+
+    ids = np.array([0, 1, 2, 12345, 2**40 + 7, 2**63 - 1], dtype=np.uint64)
+    got = splitmix64(ids)
+    assert [int(v) for v in got] == [scalar(int(i)) for i in ids]
+
+    n = 50_000
+    docs = rd.from_arrow(
+        __import__("pyarrow").table({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": ["en" if i % 2 == 0 else "fr" for i in range(n)],
+        })
+    )
+    rates = {"en": 0.25, "fr": 0.75}
+    a = sorted(r["doc_id"] for r in stratified_sample(
+        docs, rates, method="splitmix64").take_all())
+    b = sorted(r["doc_id"] for r in stratified_sample(
+        docs, rates, method="splitmix64").take_all())
+    assert a == b and a  # deterministic across reruns
+    kept = {r["doc_id"]: r["lang"] for r in stratified_sample(
+        docs, rates, method="splitmix64").take_all()}
+    n_en = sum(1 for v in kept.values() if v == "en")
+    n_fr = sum(1 for v in kept.values() if v == "fr")
+    assert abs(n_en / (n / 2) - 0.25) < 0.02
+    assert abs(n_fr / (n / 2) - 0.75) < 0.02
+
+    sdocs = rd.from_items([{"doc_id": "a", "lang": "en"}])
+    with pytest.raises(Exception, match="integer ids"):
+        stratified_sample(sdocs, rates, method="splitmix64").take_all()
