@@ -229,8 +229,13 @@ class Node:
 
     def id_class_name(self) -> str:
         """Concatenated id/class/name attribute text, the string the
-        boilerplate regexes (C3/C4) match against."""
-        parts = [self.get("id"), self.get("class"), self.get("name")]
+        boilerplate regexes (C3/C4) match against. Most nodes carry no
+        attributes at all — skip the list build for them (hot path:
+        called once per element per cleaner pass)."""
+        attrs = self.attrs
+        if not attrs:
+            return ""
+        parts = [attrs.get("id"), attrs.get("class"), attrs.get("name")]
         return " ".join(p for p in parts if p)
 
     def previous_siblings(self) -> list["Node"]:
