@@ -46,6 +46,13 @@ def entry() -> Any:
     rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
                     columns=["lang"]).count()
 
+    # materialize the planted-truth fixtures up front so the oracle SQL
+    # (which reads truth parquet by absolute path) works regardless of
+    # whether the harness evaluates it before or after the query runs
+    from fixtures.gen_linked import generate_linked
+
+    generate_linked(_FIXTURE_ROOT)
+
     pages = _pages_dir("/root/testdata/sf0.001")
     articles = build_articles(pages, num_partitions=8, concurrency="tasks")
     return articles.select_columns(
