@@ -508,6 +508,110 @@ def _ts_us(g: pd.DataFrame, col: str = "ts") -> np.ndarray:
     return g[col].to_numpy("datetime64[us]").astype(np.int64)
 
 
+_ASOF_EMPTY = {
+    "event_id": "int64",
+    "click_event_id": "int64",
+}
+
+
+def _asof_merge_frame(g: pd.DataFrame,
+                      use_composite: bool = True) -> pd.DataFrame:
+    """One shard's as-of merge (module-level so both the composite-key
+    path and the per-segment fallback are directly unit-testable;
+    ``use_composite=False`` forces the fallback)."""
+    empty = pd.DataFrame({c: pd.Series([], dtype=t)
+                          for c, t in _ASOF_EMPTY.items()})
+    if not len(g):
+        return empty
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    u = g["user_id"].to_numpy()
+    ts = _ts_us(g)
+    eid = g["event_id"].to_numpy()
+    typ = g["event_type"].to_numpy()
+    new_user = _segments(u)[0]
+    uidx = np.cumsum(new_user) - 1
+    off = ts - ts.min()
+    C = _composite_key(uidx, off) if use_composite else None
+    is_c = typ == "click"
+    is_p = typ == "purchase"
+    if not is_c.any() or not is_p.any():
+        return empty
+    if C is None:  # overflow fallback: per-user loop
+        out_e, out_c = [], []
+        for s in np.flatnonzero(new_user):
+            e = s + np.searchsorted(u[s:], u[s], side="right")
+            cts, cid = ts[s:e][is_c[s:e]], eid[s:e][is_c[s:e]]
+            pts, pid = ts[s:e][is_p[s:e]], eid[s:e][is_p[s:e]]
+            if not len(cts) or not len(pts):
+                continue
+            pos = np.searchsorted(cts, pts, side="right") - 1
+            ok = pos >= 0
+            out_e.extend(pid[ok])
+            out_c.extend(cid[pos[ok]])
+        return pd.DataFrame({
+            "event_id": pd.Series(out_e, dtype="int64"),
+            "click_event_id": pd.Series(out_c, dtype="int64"),
+        })
+    Cc, cu, cid = C[is_c], uidx[is_c], eid[is_c]
+    pos = np.searchsorted(Cc, C[is_p], side="right") - 1
+    ok = pos >= 0
+    ok[ok] &= cu[pos[ok]] == uidx[is_p][ok]  # same-user guard
+    if not ok.any():
+        return empty
+    return pd.DataFrame({
+        "event_id": eid[is_p][ok],
+        "click_event_id": cid[pos[ok]],
+    })
+
+
+def _window_funcs_frame(g: pd.DataFrame,
+                        use_composite: bool = True) -> pd.DataFrame:
+    """One shard's ROW_NUMBER + LAG + RANGE-count pass (module-level for
+    direct unit tests of both the composite path and the fallback)."""
+    hour_us = 3_600_000_000
+    if not len(g):
+        return pd.DataFrame({
+            c: pd.Series([], dtype="int64")
+            for c in ("event_id", "event_seq", "prev_event_id",
+                      "n_last_hour")
+        })
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    u = g["user_id"].to_numpy()
+    ts = _ts_us(g)
+    eid = g["event_id"].to_numpy()
+    n = len(u)
+    new_user, start_of_row = _segments(u)
+    event_seq = np.arange(n) - start_of_row + 1
+    prev = np.empty(n, dtype=np.int64)
+    prev[0] = -1
+    prev[1:] = eid[:-1]
+    prev[new_user] = -1
+    uidx = np.cumsum(new_user) - 1
+    off = ts - ts.min()
+    C = _composite_key(uidx, off) if use_composite else None
+    if C is None:  # overflow fallback: per-segment searchsorted
+        n_last = np.empty(n, dtype=np.int64)
+        starts = np.flatnonzero(new_user)
+        for s, e in zip(starts, np.append(starts[1:], n)):
+            seg = ts[s:e]
+            lo = np.searchsorted(seg, seg - hour_us, side="left")
+            hi = np.searchsorted(seg, seg, side="right")
+            n_last[s:e] = hi - lo
+    else:
+        # (C - off) is the segment floor in composite space; clipping
+        # the window start at it keeps the probe inside the segment
+        qlo = (C - off) + np.maximum(off - hour_us, 0)
+        lo = np.searchsorted(C, qlo, side="left")
+        hi = np.searchsorted(C, C, side="right")
+        n_last = (hi - lo).astype(np.int64)
+    return pd.DataFrame({
+        "event_id": eid,
+        "event_seq": event_seq.astype("int64"),
+        "prev_event_id": prev,
+        "n_last_hour": n_last,
+    })
+
+
 def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     """Gap-based sessionization (streaming-shaped windowed operator): per
     user, order events by (ts, event_id); a gap strictly greater than
@@ -581,53 +685,6 @@ def asof_click_before_purchase(sf_dir: str):
     partitioning assumption: all rows of one user fit one shard — the
     standard event-log contract)."""
 
-    empty = pd.DataFrame({
-        "event_id": pd.Series([], dtype="int64"),
-        "click_event_id": pd.Series([], dtype="int64"),
-    })
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return empty
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        u = g["user_id"].to_numpy()
-        ts = _ts_us(g)
-        eid = g["event_id"].to_numpy()
-        typ = g["event_type"].to_numpy()
-        uidx = np.cumsum(_segments(u)[0]) - 1
-        off = ts - ts.min()
-        C = _composite_key(uidx, off)
-        is_c = typ == "click"
-        is_p = typ == "purchase"
-        if not is_c.any() or not is_p.any():
-            return empty
-        if C is None:  # overflow fallback: per-user loop (see helper)
-            out_e, out_c = [], []
-            for s in np.flatnonzero(_segments(u)[0]):
-                e = s + np.searchsorted(u[s:], u[s], side="right")
-                cts, cid = ts[s:e][is_c[s:e]], eid[s:e][is_c[s:e]]
-                pts, pid = ts[s:e][is_p[s:e]], eid[s:e][is_p[s:e]]
-                if not len(cts) or not len(pts):
-                    continue
-                pos = np.searchsorted(cts, pts, side="right") - 1
-                ok = pos >= 0
-                out_e.extend(pid[ok])
-                out_c.extend(cid[pos[ok]])
-            return pd.DataFrame({
-                "event_id": pd.Series(out_e, dtype="int64"),
-                "click_event_id": pd.Series(out_c, dtype="int64"),
-            })
-        Cc, cu, cid = C[is_c], uidx[is_c], eid[is_c]
-        pos = np.searchsorted(Cc, C[is_p], side="right") - 1
-        ok = pos >= 0
-        ok[ok] &= cu[pos[ok]] == uidx[is_p][ok]  # same-user guard
-        if not ok.any():
-            return empty
-        return pd.DataFrame({
-            "event_id": eid[is_p][ok],
-            "click_event_id": cid[pos[ok]],
-        })
-
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
     keep = ds.map_batches(
         lambda t: t.filter(
@@ -637,7 +694,7 @@ def asof_click_before_purchase(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True,
     )
     return _add_user_shard(keep).groupby("_shard").map_groups(
-        merge, batch_format="pandas"
+        _asof_merge_frame, batch_format="pandas"
     )
 
 
@@ -775,54 +832,11 @@ def window_funcs_events(sf_dir: str):
     Segment-vectorized over coarse user shards: row numbers from segment
     starts, lag from a shifted array with segment-start resets, and the
     RANGE window from ONE composite-key searchsorted covering every user
-    in the shard (see _composite_key) — no per-user Python."""
-    hour_us = 3_600_000_000
-
-    def win(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return pd.DataFrame({
-                c: pd.Series([], dtype="int64")
-                for c in ("event_id", "event_seq", "prev_event_id",
-                          "n_last_hour")
-            })
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        u = g["user_id"].to_numpy()
-        ts = _ts_us(g)
-        eid = g["event_id"].to_numpy()
-        n = len(u)
-        new_user, start_of_row = _segments(u)
-        event_seq = np.arange(n) - start_of_row + 1
-        prev = np.empty(n, dtype=np.int64)
-        prev[0] = -1
-        prev[1:] = eid[:-1]
-        prev[new_user] = -1
-        uidx = np.cumsum(new_user) - 1
-        off = ts - ts.min()
-        C = _composite_key(uidx, off)
-        if C is None:  # overflow fallback: per-segment searchsorted
-            n_last = np.empty(n, dtype=np.int64)
-            starts = np.flatnonzero(new_user)
-            for s, e in zip(starts, np.append(starts[1:], n)):
-                seg = ts[s:e]
-                lo = np.searchsorted(seg, seg - hour_us, side="left")
-                hi = np.searchsorted(seg, seg, side="right")
-                n_last[s:e] = hi - lo
-        else:
-            # (C - off) is the segment floor in composite space; clipping
-            # the window start at it keeps the probe inside the segment
-            qlo = (C - off) + np.maximum(off - hour_us, 0)
-            lo = np.searchsorted(C, qlo, side="left")
-            hi = np.searchsorted(C, C, side="right")
-            n_last = (hi - lo).astype(np.int64)
-        return pd.DataFrame({
-            "event_id": eid,
-            "event_seq": event_seq.astype("int64"),
-            "prev_event_id": prev,
-            "n_last_hour": n_last,
-        })
-
+    in the shard (kernel: _window_funcs_frame) — no per-user Python."""
     ds = _add_user_shard(_events(sf_dir, ["user_id", "event_id", "ts"]))
-    return ds.groupby("_shard").map_groups(win, batch_format="pandas")
+    return ds.groupby("_shard").map_groups(
+        _window_funcs_frame, batch_format="pandas"
+    )
 
 
 # --- sort / top-k over a fact table ---------------------------------------

@@ -136,3 +136,38 @@ def test_queries_contract_shape(ray_session):
     assert len(q) == 50
     assert set(o) <= set(q)
     assert len(o) == 47
+
+
+def test_window_composite_overflow_fallback():
+    """The composite-key searchsorted and the per-segment fallback must
+    produce identical frames (the fallback fires when users x time-span
+    would overflow int64). Kernel-level test: both paths run in-process
+    on the same shard frame, no Ray."""
+    import numpy as np
+    import pandas as pd
+
+    from crawtext_ray.stages.relational import (
+        _asof_merge_frame,
+        _window_funcs_frame,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    g = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 300, n),
+        "ts": pd.to_datetime(
+            1_700_000_000_000_000 + rng.integers(0, 10_000_000_000, n),
+            unit="us"),
+        "event_type": rng.choice(["click", "purchase", "view"], n),
+    })
+    for fn in (_asof_merge_frame, _window_funcs_frame):
+        a = fn(g, use_composite=True).sort_values("event_id").reset_index(
+            drop=True)
+        b = fn(g, use_composite=False).sort_values("event_id").reset_index(
+            drop=True)
+        assert len(a) and a.equals(b), fn.__name__
+    # degenerate shards hold too
+    empty = g.iloc[:0]
+    assert _asof_merge_frame(empty, use_composite=False).empty
+    assert _window_funcs_frame(empty, use_composite=False).empty
