@@ -49,6 +49,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="use the HASH_SHUFFLE strategy (enables keyed "
                          "repartition with true key co-location; default "
                          "sort-shuffle measured faster on this workload)")
+    ap.add_argument("--export-shards", type=int, default=None,
+                    metavar="N",
+                    help="after the job, deterministically shuffle-shard "
+                         "the output into N training shards under "
+                         "<out>_shards (stages/shuffle.py: hash decides "
+                         "shard AND in-shard order, so reruns are "
+                         "byte-identical and resume per shard)")
     args = ap.parse_args(argv)
 
     if args.query:
@@ -142,6 +149,22 @@ def main(argv: list[str] | None = None) -> int:
                 incremental_from=args.incremental_from,
             )
             print(json.dumps(summary))
+
+        if args.export_shards:
+            import ray.data as rd
+
+            from crawtext_ray.stages.shuffle import write_training_shards
+
+            articles = rd.read_parquet(args.out, file_extensions=["parquet"])
+            manifest = write_training_shards(
+                articles, args.out.rstrip("/") + "_shards",
+                n_shards=args.export_shards, key="url", method="md5",
+            )
+            print(json.dumps({
+                "shards_dir": args.out.rstrip("/") + "_shards",
+                "n_shards": len(manifest),
+                "rows": sum(m["rows"] for m in manifest),
+            }))
 
         if args.report:
             import ray.data as rd

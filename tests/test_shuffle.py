@@ -1,0 +1,130 @@
+"""Deterministic shuffle-shard training export (stages/shuffle.py)."""
+
+import numpy as np
+import pandas as pd
+
+
+def test_shuffle_shards_md5_vs_duckdb(ray_session):
+    """md5 mode matches the same arithmetic in SQL: shard = first 8 md5
+    bytes of 'seed:id' mod S, pos = rank of (hash, id) within shard."""
+    import duckdb
+    import ray.data as rd
+
+    from crawtext_ray.stages.shuffle import shuffle_shards
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "lang"])
+    got = shuffle_shards(docs, n_shards=8, seed=0, method="md5").to_pandas()
+    sql = """
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 16))
+                  AS UBIGINT) AS hh
+      FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))
+    SELECT doc_id, lang, CAST(hh % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
+                - 1 AS BIGINT) AS pos
+    FROM h
+    """
+    exp = duckdb.connect().execute(sql).df()
+    a = got.sort_values(["shard", "pos"]).reset_index(drop=True)
+    b = exp.sort_values(["shard", "pos"]).reset_index(drop=True)[a.columns]
+    assert a.equals(b)
+
+
+def test_shuffle_shards_splitmix_deterministic_and_balanced(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawtext_ray.stages.shuffle import shuffle_shards
+
+    n = 20_000
+    ds = rd.from_arrow(pa.table({"doc_id": np.arange(n, dtype=np.int64)}))
+    a = shuffle_shards(ds, n_shards=16, seed=7).to_pandas()
+    b = shuffle_shards(ds, n_shards=16, seed=7).to_pandas()
+    key = ["doc_id"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))
+    sizes = a.groupby("shard").size()
+    assert len(sizes) == 16
+    assert sizes.max() / sizes.min() < 1.2  # hash balance
+    # a different seed is a different permutation
+    c = shuffle_shards(ds, n_shards=16, seed=8).to_pandas()
+    merged = a.merge(c, on="doc_id", suffixes=("_a", "_c"))
+    assert (merged["shard_a"] != merged["shard_c"]).any()
+    # within-shard order is the hash order, not input order
+    s0 = a[a["shard"] == 0].sort_values("pos")
+    assert not s0["doc_id"].is_monotonic_increasing
+
+
+def test_write_training_shards_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawtext_ray.stages.shuffle import (
+        shuffle_shards,
+        write_training_shards,
+    )
+
+    n = 3_000
+    ds = rd.from_arrow(pa.table({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": [f"doc {i}" for i in range(n)],
+    }))
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(ds, out, n_shards=6, seed=3)
+    assert [m["shard"] for m in manifest] == list(range(6))
+    assert sum(m["rows"] for m in manifest) == n
+    # files hold the shuffle order and re-running rewrites identical bytes
+    want = shuffle_shards(ds, n_shards=6, seed=3).to_pandas()
+    frames = [pq.read_table(m["path"]).to_pandas() for m in manifest]
+    got = pd.concat(frames, ignore_index=True)
+    a = got.sort_values(["shard", "pos"]).reset_index(drop=True)
+    b = want.sort_values(["shard", "pos"]).reset_index(drop=True)[a.columns]
+    assert a.equals(b)
+    import hashlib
+    digests = {m["shard"]: hashlib.sha256(open(m["path"], "rb").read()).hexdigest()
+               for m in manifest}
+    write_training_shards(ds, out, n_shards=6, seed=3)
+    for m in manifest:
+        again = hashlib.sha256(open(m["path"], "rb").read()).hexdigest()
+        assert again == digests[m["shard"]]
+
+
+def test_shuffle_shards_string_keys_need_md5(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from crawtext_ray.stages.shuffle import shuffle_shards
+
+    ds = rd.from_items([{"doc_id": "a"}, {"doc_id": "b"}])
+    with pytest.raises(Exception, match="integer keys"):
+        shuffle_shards(ds, n_shards=2).to_pandas()
+    out = shuffle_shards(ds, n_shards=2, method="md5").to_pandas()
+    assert set(out["doc_id"]) == {"a", "b"}
+
+
+def test_export_shards_cli_over_articles(ray_session, pages_small, tmp_path):
+    """The CLI export path shuffles REAL article rows (which carry
+    struct meta + list outlinks — the nested columns pandas map_groups
+    cannot emit) into byte-deterministic training shards."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawtext_ray.pipelines.flagship import run_extract_job
+    from crawtext_ray.stages.shuffle import write_training_shards
+
+    out = str(tmp_path / "arts")
+    run_extract_job(pages_small, out, num_partitions=4)
+    articles = rd.read_parquet(out, file_extensions=["parquet"])
+    n = articles.count()
+    manifest = write_training_shards(
+        articles, str(tmp_path / "shards"), n_shards=4, key="url",
+        method="md5")
+    assert sum(m["rows"] for m in manifest) == n
+    t = pq.read_table(manifest[0]["path"])
+    assert {"url", "meta", "outlinks", "shard", "pos"} <= set(t.column_names)
+    # in-shard order is the hash order (pos contiguous from 0)
+    pos = t["pos"].to_pylist()
+    assert pos == list(range(len(pos)))
