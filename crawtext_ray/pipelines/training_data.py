@@ -291,6 +291,9 @@ def curate(
     benchmark=None,
     benchmark_ngram: int = 8,
     max_dup_line_frac: float | None = None,
+    max_nll: float | None = None,
+    lm_model_docs=None,
+    rates: dict | None = None,
 ):
     """Full curation chain; returns the curated articles Dataset (written
     to ``out_dir`` when given). ``verify_dups``: exact-Jaccard threshold
@@ -299,7 +302,12 @@ def curate(
     a Dataset with a ``text`` column) — documents sharing any
     ``benchmark_ngram``-gram with it are dropped (decontamination)
     between the quality gate and dedup, while the corpus is smallest
-    upstream of the shuffle-bearing stages."""
+    upstream of the shuffle-bearing stages. ``max_nll``: optional
+    perplexity filter — drop articles whose unigram-LM cross-entropy
+    (trained on ``lm_model_docs`` or on the gated corpus itself) exceeds
+    the threshold. ``rates``: optional per-language quota sampling
+    applied LAST (after dedup — sampling first would bias which
+    duplicate survives), e.g. ``{"en": 0.3}`` to downsample English."""
     arts = build_articles(
         pages_path,
         query_expression=query_expression,
@@ -330,6 +338,14 @@ def curate(
 
         gate = decontaminate(gate, benchmark, n=benchmark_ngram,
                              text_col="extracted_text")
+    if max_nll is not None:
+        from ..stages.textops import lm_gate
+
+        # training makes an extra pass over the gated stream (map-side
+        # partials + one token groupby) unless a clean reference corpus
+        # is supplied; scoring itself streams with the other gates
+        gate = lm_gate(gate, max_nll, text_col="extracted_text",
+                       model_docs=lm_model_docs)
     ckpt_dir = None
     if out_dir:
         import shutil
@@ -347,6 +363,11 @@ def curate(
         gated = gate.materialize()
     deduped = drop_exact_dups(gated)
     curated = drop_near_dups(deduped, verify_threshold=verify_dups)
+    if rates is not None:
+        from ..stages.textops import stratified_sample
+
+        curated = stratified_sample(curated, rates, strata_col="lang",
+                                    id_col="url")
     if out_dir:
         # same partitioned sink + lineage sidecars as the extract job:
         # url-hash partition files with checksums, auditable by

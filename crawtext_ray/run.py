@@ -45,6 +45,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="exact-Jaccard threshold for verifying near-dup "
                          "candidates before dropping them in --curate "
                          "(default: drop all LSH candidates)")
+    ap.add_argument("--max-nll", type=float, default=None,
+                    help="--curate perplexity gate: drop articles whose "
+                         "unigram-LM cross-entropy exceeds this (model "
+                         "trained on the gated corpus)")
+    ap.add_argument("--lang-rates", default=None, metavar="L=R,...",
+                    help="--curate per-language quota sampling applied "
+                         "after dedup, e.g. 'en=0.3,fr=1.0' (unlisted "
+                         "languages keep rate 1.0)")
     ap.add_argument("--hash-shuffle", action="store_true",
                     help="use the HASH_SHUFFLE strategy (enables keyed "
                          "repartition with true key co-location; default "
@@ -136,6 +144,12 @@ def main(argv: list[str] | None = None) -> int:
                 min_words=args.min_words,
                 verify_dups=args.verify_dups,
                 benchmark=benchmark,
+                max_nll=args.max_nll,
+                rates=(
+                    {k: float(v) for k, v in
+                     (kv.split("=", 1) for kv in args.lang_rates.split(","))}
+                    if args.lang_rates else None
+                ),
             )
             print(json.dumps({"out_dir": args.out, "rows": curated.count()}))
         else:

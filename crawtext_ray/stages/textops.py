@@ -442,6 +442,14 @@ def unigram_lm_scores(docs, text_col: str = "text", id_col: str = "doc_id",
     Tokens = lowercased [a-z0-9]+ runs (the house tokenizer). Returns
     (id, n_tokens:int64, nll:float64) — nll = 0.0 for token-less docs.
     """
+    return _lm_score_stage(docs, text_col, id_col, vocab_size, alpha,
+                           model_docs)
+
+
+def _train_unigram_lm(train, text_col: str, vocab_size: int, alpha: float):
+    """Map-side-trained unigram model: returns (ray.put ref of
+    (vocab_arrow, logp_array), oov_logp). Shared by the scoring query
+    and the curation LM gate."""
     import numpy as np
     import pyarrow.compute as pc
     import ray
@@ -459,7 +467,6 @@ def unigram_lm_scores(docs, text_col: str = "text", id_col: str = "doc_id",
             "partial_n": pc.cast(vc.field("counts"), pa.int64()),
         })
 
-    train = model_docs if model_docs is not None else docs
     totals = train.select_columns([text_col]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).groupby("token").aggregate(Sum("partial_n", alias_name="n"))
@@ -476,39 +483,52 @@ def unigram_lm_scores(docs, text_col: str = "text", id_col: str = "doc_id",
     denom = total + alpha * (v + 1)  # +1: the shared OOV bucket
     logp = np.log((counts + alpha) / denom)
     oov_logp = float(np.log(alpha / denom))
-    ref = ray.put((vocab, logp))
+    return ray.put((vocab, logp)), oov_logp
+
+
+def _batch_nll(batch: pa.Table, text_col: str, vcb, lp, oov_logp: float):
+    """(n_tokens int64 array, nll float64 array) for one batch —
+    vectorized scoring against the broadcast model."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    low = pc.utf8_lower(batch[text_col])
+    toks = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+    arr = (toks.combine_chunks()
+           if isinstance(toks, pa.ChunkedArray) else toks)
+    vals = pc.list_flatten(arr)
+    row_idx = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+    lens = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
+    keep = lens > 0
+    n = batch.num_rows
+    n_toks = np.bincount(row_idx[keep], minlength=n)
+    if len(vcb):
+        # C-vectorized vocab lookup: index_in maps each token to its
+        # vocab position (null = OOV); no Python per token
+        idx = pc.fill_null(
+            pc.index_in(vals, value_set=vcb), -1
+        ).to_numpy(zero_copy_only=False)[keep]
+        tok_lp = np.where(idx >= 0, lp[np.clip(idx, 0, None)], oov_logp)
+    else:
+        tok_lp = np.full(int(keep.sum()), oov_logp)
+    sum_lp = np.bincount(row_idx[keep], weights=-tok_lp, minlength=n)
+    nll = np.divide(sum_lp, n_toks, out=np.zeros(n), where=n_toks > 0)
+    return n_toks, nll
+
+
+def _lm_score_stage(docs, text_col, id_col, vocab_size, alpha, model_docs):
+    import ray
 
     from .fusion import map_stage
+
+    train = model_docs if model_docs is not None else docs
+    ref, oov_logp = _train_unigram_lm(train, text_col, vocab_size, alpha)
 
     def factory():
         vcb, lp = ray.get(ref)
 
         def stage(batch: pa.Table) -> pa.Table:
-            low = pc.utf8_lower(batch[text_col])
-            toks = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
-            arr = (toks.combine_chunks()
-                   if isinstance(toks, pa.ChunkedArray) else toks)
-            vals = pc.list_flatten(arr)
-            row_idx = pc.list_parent_indices(arr).to_numpy(
-                zero_copy_only=False
-            )
-            lens = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
-            keep = lens > 0
-            n = batch.num_rows
-            n_toks = np.bincount(row_idx[keep], minlength=n)
-            if len(vcb):
-                # C-vectorized vocab lookup: index_in maps each token to
-                # its vocab position (null = OOV); no Python per token
-                idx = pc.fill_null(
-                    pc.index_in(vals, value_set=vcb), -1
-                ).to_numpy(zero_copy_only=False)[keep]
-                tok_lp = np.where(idx >= 0, lp[np.clip(idx, 0, None)],
-                                  oov_logp)
-            else:
-                tok_lp = np.full(int(keep.sum()), oov_logp)
-            sum_lp = np.bincount(row_idx[keep], weights=-tok_lp, minlength=n)
-            nll = np.divide(sum_lp, n_toks, out=np.zeros(n),
-                            where=n_toks > 0)
+            n_toks, nll = _batch_nll(batch, text_col, vcb, lp, oov_logp)
             return pa.table({
                 id_col: batch[id_col],
                 "n_tokens": pa.array(n_toks, pa.int64()),
@@ -518,6 +538,39 @@ def unigram_lm_scores(docs, text_col: str = "text", id_col: str = "doc_id",
         return stage
 
     return map_stage(docs.select_columns([id_col, text_col]), factory)
+
+
+def lm_gate(ds, max_nll: float, text_col: str = "text",
+            vocab_size: int = 50_000, alpha: float = 0.5,
+            model_docs=None):
+    """Perplexity filter (CCNet shape): drop documents whose mean token
+    negative log-likelihood under the unigram LM exceeds ``max_nll``
+    (high nll = far from the training distribution — gibberish,
+    boilerplate soup, wrong-language residue). The model trains on
+    ``model_docs`` (a clean reference corpus) or, when None, on ``ds``
+    itself; token-less documents are kept (emptiness is the length
+    gate's job). Scoring streams: broadcast-once model, vectorized
+    probe, no shuffle — same scale shape as ``unigram_lm_scores``."""
+    import ray
+
+    from .fusion import map_stage
+
+    train = model_docs if model_docs is not None else ds
+    ref, oov_logp = _train_unigram_lm(train, text_col, vocab_size, alpha)
+
+    def factory():
+        vcb, lp = ray.get(ref)
+
+        def stage(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            n_toks, nll = _batch_nll(batch, text_col, vcb, lp, oov_logp)
+            keep = (nll <= max_nll) | (n_toks == 0)
+            return batch.filter(pa.array(keep))
+
+        return stage
+
+    return map_stage(ds, factory)
 
 
 def stratified_sample(docs, rates: dict, strata_col: str = "lang",

@@ -443,3 +443,53 @@ def test_splitmix64_sampling_mode(ray_session):
     sdocs = rd.from_items([{"doc_id": "a", "lang": "en"}])
     with pytest.raises(Exception, match="integer ids"):
         stratified_sample(sdocs, rates, method="splitmix64").take_all()
+
+
+def test_lm_gate_matches_scores_threshold(ray_session):
+    """lm_gate(ds, t) keeps exactly the docs unigram_lm_scores maps to
+    nll <= t (plus token-less docs), and a planted gibberish doc goes."""
+    import ray.data as rd
+
+    from crawtext_ray.stages.textops import lm_gate, unigram_lm_scores
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).limit(200).materialize()
+    scores = {r["doc_id"]: (r["n_tokens"], r["nll"])
+              for r in unigram_lm_scores(docs, vocab_size=200).take_all()}
+    t = sorted(nll for n, nll in scores.values() if n)[len(scores) // 2]
+    kept = {r["doc_id"]
+            for r in lm_gate(docs, t, vocab_size=200).take_all()}
+    want = {d for d, (n, nll) in scores.items() if n == 0 or nll <= t}
+    assert kept == want and 0 < len(kept) < len(scores)
+
+    # planted gibberish is dropped when the model comes from clean docs
+    probe = rd.from_items([
+        {"doc_id": 1, "text": "the data report market energy climate " * 20},
+        {"doc_id": 2, "text": "qzxv jkqp wvxz zzqj xqzv pqzw " * 20},
+        {"doc_id": 3, "text": ""},
+    ])
+    s = {r["doc_id"]: r["nll"]
+         for r in unigram_lm_scores(probe, vocab_size=200,
+                                    model_docs=docs).take_all()}
+    cut = (s[1] + s[2]) / 2
+    kept2 = {r["doc_id"] for r in lm_gate(probe, cut, vocab_size=200,
+                                          model_docs=docs).take_all()}
+    assert kept2 == {1, 3}  # gibberish dropped, token-less kept
+
+
+def test_curate_with_lm_gate_and_rates(ray_session, pages_small, tmp_path):
+    """curate(max_nll=..., rates=...) composes: the perplexity gate
+    drops high-nll articles and the final per-language quota empties a
+    language entirely at rate 0."""
+    from crawtext_ray.pipelines.training_data import curate
+
+    base = curate(pages_small, out_dir=str(tmp_path / "b"),
+                  num_partitions=4, min_words=10).to_pandas()
+    out = curate(pages_small, out_dir=str(tmp_path / "o"),
+                 num_partitions=4, min_words=10,
+                 max_nll=9.0, rates={"en": 0.0, "fr": 1.0}).to_pandas()
+    assert len(out) < len(base)
+    assert not (out["lang"] == "en").any()
+    # fr sampled at 1.0: every fr article that survives the gates stays
+    assert (out["lang"] == "fr").sum() > 0
