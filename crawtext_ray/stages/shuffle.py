@@ -129,3 +129,42 @@ def write_training_shards(ds, out_dir: str, n_shards: int = 64,
             "path": os.path.join(out_dir, f"part-{int(r['shard']):05d}.parquet"),
         })
     return manifest
+
+
+def pack_sequences(ds, seq_len: int, key: str = "doc_id",
+                   n_tokens_col: str = "n_tokens", n_shards: int = 64,
+                   seed: int = 0, method: str = "splitmix64"):
+    """GPT-style sequence packing assignment: documents are laid out in
+    the deterministic shuffle order (``shuffle_shards``) and the token
+    stream is cut into fixed ``seq_len`` windows; every document gets
+    the pack it STARTS in and its offset inside that pack —
+    ``pack_id = floor(prev_cumsum / seq_len)``,
+    ``pack_offset = prev_cumsum % seq_len`` — the
+    concatenate-and-chunk layout a pretraining loader consumes
+    (documents may straddle pack boundaries, as in GPT-style training).
+
+    Scale shape: shard assignment is map-side; the per-shard exclusive
+    cumsum is one vectorized pass per SHARD group (pyarrow groups —
+    works with nested article columns). Deterministic end to end, so
+    loaders on different hosts agree on the layout without coordination.
+    Output: input columns + (shard, pos, pack_id, pack_offset); pack_id
+    is unique WITHIN a shard — loaders consume one shard each, which is
+    the point."""
+    shuffled = shuffle_shards(ds, n_shards=n_shards, key=key, seed=seed,
+                              method=method)
+
+    def pack(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.append_column(
+                "pack_id", pa.array([], pa.int64())
+            ).append_column("pack_offset", pa.array([], pa.int64()))
+        g = g.sort_by([("pos", "ascending")])
+        toks = g[n_tokens_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        prev = np.concatenate(([0], np.cumsum(toks)[:-1]))
+        return g.append_column(
+            "pack_id", pa.array(prev // seq_len, pa.int64())
+        ).append_column(
+            "pack_offset", pa.array(prev % seq_len, pa.int64())
+        )
+
+    return shuffled.groupby("shard").map_groups(pack, batch_format="pyarrow")

@@ -128,3 +128,44 @@ def test_export_shards_cli_over_articles(ray_session, pages_small, tmp_path):
     # in-shard order is the hash order (pos contiguous from 0)
     pos = t["pos"].to_pylist()
     assert pos == list(range(len(pos)))
+
+
+def test_pack_sequences_vs_duckdb(ray_session):
+    """Packing assignment matches the window-SQL definition: per shard,
+    pack_id = floor(exclusive-cumsum(n_tokens in shuffle order) / L)."""
+    import duckdb
+    import ray.data as rd
+
+    from crawtext_ray.stages.shuffle import pack_sequences
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    docs = docs.map_batches(
+        lambda t: t.rename_columns(
+            ["doc_id", "n_tokens"]), batch_format="pyarrow")
+    got = pack_sequences(docs, seq_len=4096, n_shards=4, seed=1,
+                         method="md5").to_pandas()
+    sql = """
+    WITH h AS (
+      SELECT doc_id, n_chars AS n_tokens,
+             CAST(('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 16))
+                  AS UBIGINT) AS hh
+      FROM read_parquet('/root/testdata/sf0.001/documents.parquet')),
+    o AS (
+      SELECT doc_id, n_tokens, CAST(hh % 4 AS BIGINT) AS shard,
+             CAST(row_number() OVER w - 1 AS BIGINT) AS pos,
+             CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY hh % 4
+                  ORDER BY hh, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS BIGINT) AS prev
+      FROM h WINDOW w AS (PARTITION BY hh % 4 ORDER BY hh, doc_id))
+    SELECT doc_id, n_tokens, shard, pos,
+           prev // 4096 AS pack_id, prev % 4096 AS pack_offset
+    FROM o
+    """
+    exp = duckdb.connect().execute(sql).df()
+    a = got.sort_values(["shard", "pos"]).reset_index(drop=True)
+    b = exp.sort_values(["shard", "pos"]).reset_index(drop=True)[a.columns]
+    assert a.equals(b)
+    # layout sanity: offsets stay inside the window; first doc starts at 0
+    assert (a["pack_offset"] < 4096).all()
+    assert (a[a["pos"] == 0]["pack_offset"] == 0).all()
