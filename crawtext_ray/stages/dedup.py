@@ -1211,3 +1211,113 @@ def _cc_distributed_rounds(edges, labels, max_iters: int):
         ),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+# ----------------------------------------------- paragraph-level dedup ----
+
+
+def _para_hashes(text: str, min_chars: int) -> tuple[list[str], np.ndarray]:
+    """(paragraphs, int64 hash per paragraph with 0 for ineligible).
+    Paragraphs = text.split("\\n\\n") verbatim (no stripping — the
+    reassembled text must be a pure subsequence join); a paragraph is
+    dedup-eligible iff len >= min_chars. Hashes are the md5-top-8-bytes
+    reinterpreted as SIGNED int64 (values above 2^63 would make Ray's
+    aggregate output fall back to pickled-object columns)."""
+    paras = (text or "").split("\n\n")
+    h = np.zeros(len(paras), dtype=np.int64)
+    for i, p in enumerate(paras):
+        if len(p) >= min_chars:
+            h[i] = np.frombuffer(
+                hashlib.md5(p.encode()).digest()[:8], dtype=">u8"
+            ).view(">i8")[0]
+    return paras, h
+
+
+def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
+                     min_chars: int = 1, broadcast_cap: int = 20_000_000):
+    """Corpus-wide PARAGRAPH-level exact dedup (the C4/Dolma-style line
+    dedup generalized to paragraphs): every paragraph keeps exactly its
+    FIRST occurrence — ordered by (doc id, paragraph index) — and every
+    later copy anywhere in the corpus is removed from its document.
+    Kills cross-page boilerplate (nav/footer/legal text) that survives
+    per-document gates. Output: one row per input doc,
+    (id, clean_text) with surviving paragraphs re-joined by "\\n\\n"
+    (docs may come back empty — dropping them is the length gate's job).
+
+    Scale shape (the exact-dedup house pattern): texts never shuffle —
+    map pass A emits only (hash, packed) pairs, ONE hash aggregate
+    prefilters to duplicated hashes (Count >= 2) and picks each winner
+    (Min of packed = lexicographic-first occurrence), the winner map —
+    O(duplicated paragraphs), not O(paragraphs) — broadcasts via
+    ray.put, and map pass B rebuilds documents streaming. Raises above
+    ``broadcast_cap`` (the keyed above-cap form is future work; the cap
+    is ~320 MB of winner map).
+
+    Packing: winner order = doc_id * 2^20 + idx, so id_col must be an
+    integer < 2^43 and docs must have < 2^20 paragraphs (asserted)."""
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    def emit_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_h, out_p = [], []
+        for did, t in zip(ids, batch[text_col].to_pylist()):
+            did = int(did)
+            if not (0 <= did < (1 << 43)):
+                raise ValueError(f"{id_col}={did} out of packing range")
+            _, h = _para_hashes(t, min_chars)
+            if len(h) >= (1 << 20):
+                raise ValueError(f"{id_col}={did}: too many paragraphs")
+            elig = np.flatnonzero(h)
+            out_h.extend(h[elig].tolist())
+            out_p.extend(((did << 20) + elig).tolist())
+        return pa.table({
+            "ph": pa.array(out_h, pa.int64()),
+            "packed": pa.array(out_p, pa.int64()),
+        })
+
+    pairs = ds.select_columns([id_col, text_col]).map_batches(
+        emit_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    dup_winners = pairs.groupby("ph").aggregate(
+        Count(alias_name="n"), Min("packed", alias_name="w")
+    ).map_batches(
+        lambda t: t.filter(pa.compute.greater(t["n"], pa.scalar(1))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    n_dup = dup_winners.count()
+    if n_dup > broadcast_cap:
+        raise ValueError(
+            f"{n_dup} duplicated paragraphs exceed broadcast_cap="
+            f"{broadcast_cap}; raise the cap or pre-partition the corpus"
+        )
+    winners: dict[int, int] = {}
+    for b in dup_winners.iter_batches(batch_format="pyarrow"):
+        winners.update(zip(b["ph"].to_pylist(), b["w"].to_pylist()))
+    ref = ray.put(winners)
+
+    from .fusion import map_stage
+
+    def factory():
+        win = ray.get(ref)
+
+        def rebuild(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            texts = []
+            for did, t in zip(ids, batch[text_col].to_pylist()):
+                did = int(did)
+                paras, h = _para_hashes(t, min_chars)
+                kept = [
+                    p for i, (p, hh) in enumerate(zip(paras, h))
+                    if hh == 0
+                    or win.get(int(hh), (did << 20) + i) == (did << 20) + i
+                ]
+                texts.append("\n\n".join(kept))
+            return pa.table({
+                id_col: batch[id_col],
+                "clean_text": pa.array(texts, pa.string()),
+            })
+
+        return rebuild
+
+    return map_stage(ds.select_columns([id_col, text_col]), factory)

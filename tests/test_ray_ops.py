@@ -723,3 +723,104 @@ def test_minhash_verified_string_ids(ray_session):
     assert ("dup-a", "dup-b", 1.0) in pairs
     # and the all-distinct prefix contributes nothing
     assert len(pairs) == 1
+
+
+def test_dedup_paragraphs_planted(ray_session):
+    """Paragraph dedup keeps exactly the first occurrence corpus-wide
+    (and within a doc), leaves unique + short paragraphs alone."""
+    import ray.data as rd
+
+    from crawtext_ray.stages.dedup import dedup_paragraphs
+
+    footer = "copyright example site all rights reserved"
+    docs = rd.from_items([
+        {"doc_id": 1, "text": f"alpha body one\n\n{footer}"},
+        {"doc_id": 2, "text": f"{footer}\n\nbeta body two"},
+        {"doc_id": 3, "text": f"gamma\n\ngamma\n\nx"},   # in-doc repeat
+        {"doc_id": 4, "text": f"{footer}"},              # only the dup
+        {"doc_id": 5, "text": ""},
+    ])
+    out = {r["doc_id"]: r["clean_text"]
+           for r in dedup_paragraphs(docs, min_chars=2).take_all()}
+    assert out[1] == f"alpha body one\n\n{footer}"  # first occurrence kept
+    assert out[2] == "beta body two"
+    assert out[3] == "gamma\n\nx"
+    assert out[4] == ""
+    assert out[5] == ""
+    # min_chars: short paragraphs ("x") are never dedup-eligible
+    docs2 = rd.from_items([
+        {"doc_id": 1, "text": "x\n\nx"},
+    ])
+    out2 = dedup_paragraphs(docs2, min_chars=2).take_all()[0]["clean_text"]
+    assert out2 == "x\n\nx"
+
+
+def test_dedup_paragraphs_vs_duckdb(ray_session):
+    """Hash-free text-keyed SQL oracle over the documents corpus with
+    PLANTED shared paragraphs (a global footer on every 3rd doc, five
+    promo variants by doc_id%5): winner = min (doc_id, idx) per
+    paragraph text — also witnesses md5-collision-freeness here."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawtext_ray.stages.dedup import dedup_paragraphs
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out = []
+        for d, x in zip(ids, texts):
+            paras = [x or ""]
+            if d % 3 == 0:
+                paras.append("global footer boilerplate")
+            paras.append(f"promo block variant {d % 5}")
+            out.append("\n\n".join(paras))
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    lined = docs.map_batches(plant, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    got = {r["doc_id"]: r["clean_text"]
+           for r in dedup_paragraphs(lined, min_chars=1).take_all()}
+    sql = """
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || chr(10) || chr(10)
+                       || 'global footer boilerplate'
+                  ELSE text END
+             || chr(10) || chr(10)
+             || 'promo block variant ' || CAST(doc_id % 5 AS VARCHAR)
+             AS text
+      FROM read_parquet('/root/testdata/sf0.001/documents.parquet')),
+    t AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS paras
+          FROM base),
+    p AS (
+      SELECT doc_id, i AS idx, paras[i] AS para
+      FROM t, UNNEST(generate_series(1, len(paras))) AS u(i)),
+    win AS (
+      SELECT para, min(doc_id * 1048576 + idx) AS w
+      FROM p WHERE length(para) >= 1 GROUP BY para HAVING count(*) >= 2),
+    kept AS (
+      SELECT p.doc_id, p.idx, p.para FROM p LEFT JOIN win
+        ON win.para = p.para AND length(p.para) >= 1
+      WHERE win.para IS NULL OR p.doc_id * 1048576 + p.idx = win.w)
+    SELECT t.doc_id,
+           COALESCE((SELECT string_agg(k.para, chr(10) || chr(10)
+                                       ORDER BY k.idx)
+                     FROM kept k WHERE k.doc_id = t.doc_id), '') AS clean_text
+    FROM t
+    """
+    exp = {r[0]: r[1] for r in duckdb.connect().execute(sql).fetchall()}
+    assert set(got) == set(exp)
+    diffs = [d for d in got if got[d] != exp[d]]
+    assert not diffs, diffs[:3]
+    # the planted boilerplate was actually deduplicated: exactly one doc
+    # keeps the footer and exactly five keep a promo block
+    n_footer = sum("global footer boilerplate" in v for v in got.values())
+    n_promo = sum("promo block variant" in v for v in got.values())
+    assert n_footer == 1 and n_promo == 5
