@@ -120,11 +120,9 @@ def run_bench() -> dict:
         R.report_lang_docs(SF_DIR).to_pandas()
         return round(time.time() - t, 3)
 
-    probe()  # untimed warm-up (cache + code paths)
-    probe_before = probe()
-
     if os.environ.get("RAY_GRAFT_SCALING_LEG"):
-        # scaling legs measure the extraction job only
+        # scaling legs measure the extraction job only — no probes:
+        # the legs' timing windows should see nothing but the job
         out = {
             "metric": "scaling leg", "value": round(t_extract, 3),
             "unit": "sec", "queries": queries, "sf": SF_DIR,
@@ -134,6 +132,9 @@ def run_bench() -> dict:
         }
         ray.shutdown()
         return out
+
+    probe()  # untimed warm-up (cache + code paths)
+    probe_before = probe()
 
     timed("report_lang", R.report_lang_docs)
     timed("dedup_events_first", R.dedup_events_first)

@@ -338,14 +338,6 @@ def curate(
 
         gate = decontaminate(gate, benchmark, n=benchmark_ngram,
                              text_col="extracted_text")
-    if max_nll is not None:
-        from ..stages.textops import lm_gate
-
-        # training makes an extra pass over the gated stream (map-side
-        # partials + one token groupby) unless a clean reference corpus
-        # is supplied; scoring itself streams with the other gates
-        gate = lm_gate(gate, max_nll, text_col="extracted_text",
-                       model_docs=lm_model_docs)
     ckpt_dir = None
     if out_dir:
         import shutil
@@ -361,6 +353,18 @@ def curate(
         gated = rd.read_parquet(ckpt_dir, file_extensions=["parquet"])
     else:
         gated = gate.materialize()
+    if max_nll is not None:
+        from ..stages.textops import lm_gate
+
+        # AFTER the checkpoint/materialize on purpose: with no reference
+        # corpus, LM training pulls the whole upstream stream to count
+        # tokens — doing that on the lazy gate chain would run the
+        # entire extraction twice (once for training, once for the
+        # checkpoint write). Against the checkpoint both the training
+        # pass and the per-pass re-scoring in the dedup scans are cheap
+        # vectorized reads, never extraction.
+        gated = lm_gate(gated, max_nll, text_col="extracted_text",
+                        model_docs=lm_model_docs)
     deduped = drop_exact_dups(gated)
     curated = drop_near_dups(deduped, verify_threshold=verify_dups)
     if rates is not None:

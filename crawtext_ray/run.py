@@ -66,6 +66,26 @@ def main(argv: list[str] | None = None) -> int:
                          "byte-identical and resume per shard)")
     args = ap.parse_args(argv)
 
+    lang_rates = None
+    if args.lang_rates:
+        # fail fast pre-Ray on malformed rates, like the --query check
+        try:
+            lang_rates = {
+                k.strip(): float(v) for k, v in
+                (kv.split("=", 1) for kv in args.lang_rates.split(","))
+            }
+        except ValueError:
+            print(f"error: invalid --lang-rates {args.lang_rates!r} "
+                  "(expected 'lang=rate,...', e.g. 'en=0.3,fr=1.0')",
+                  file=sys.stderr)
+            return 2
+        bad = {k: v for k, v in lang_rates.items()
+               if not 0.0 <= v <= 1.0 or not k}
+        if bad:
+            print(f"error: --lang-rates values must be in [0, 1]: {bad}",
+                  file=sys.stderr)
+            return 2
+
     if args.query:
         # fail fast on a malformed query, before any workers spin up
         from crawtext_ray.extract.query import Query, QueryError
@@ -145,11 +165,7 @@ def main(argv: list[str] | None = None) -> int:
                 verify_dups=args.verify_dups,
                 benchmark=benchmark,
                 max_nll=args.max_nll,
-                rates=(
-                    {k: float(v) for k, v in
-                     (kv.split("=", 1) for kv in args.lang_rates.split(","))}
-                    if args.lang_rates else None
-                ),
+                rates=lang_rates,
             )
             print(json.dumps({"out_dir": args.out, "rows": curated.count()}))
         else:

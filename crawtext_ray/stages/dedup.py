@@ -1279,12 +1279,16 @@ def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
     pairs = ds.select_columns([id_col, text_col]).map_batches(
         emit_pairs, batch_format="pyarrow", zero_copy_batch=True
     )
+    # materialize BEFORE counting: the dataset is lazy, and count() +
+    # iter_batches would otherwise run the corpus-wide md5 pass and the
+    # hash aggregate twice; the materialized set is O(duplicated
+    # paragraphs), already post-filter
     dup_winners = pairs.groupby("ph").aggregate(
         Count(alias_name="n"), Min("packed", alias_name="w")
     ).map_batches(
         lambda t: t.filter(pa.compute.greater(t["n"], pa.scalar(1))),
         batch_format="pyarrow", zero_copy_batch=True,
-    )
+    ).materialize()
     n_dup = dup_winners.count()
     if n_dup > broadcast_cap:
         raise ValueError(

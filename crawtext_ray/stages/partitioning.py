@@ -48,6 +48,40 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def md5_prefix_array(ids, nbytes: int, seed: int | None = None) -> np.ndarray:
+    """First ``nbytes`` (1, 2, 4 or 8) of md5 over each id's text form —
+    the shared kernel of every oracle-parity hash op (sampling,
+    stratified quotas, shuffle-sharding): one digest per id is the
+    irreducible Python, everything else is batched (digests land in ONE
+    buffer decoded by a single frombuffer). ``seed`` prefixes the hashed
+    text as ``"{seed}:{id}"`` (ops without a seed hash ``str(id)``
+    verbatim — DuckDB reproduces both forms bit-for-bit)."""
+    dtype = {1: np.uint8, 2: ">u2", 4: ">u4", 8: ">u8"}[nbytes]
+    if seed is None:
+        buf = b"".join(
+            hashlib.md5(str(i).encode()).digest()[:nbytes] for i in ids
+        )
+    else:
+        pre = f"{seed}:"
+        buf = b"".join(
+            hashlib.md5((pre + str(i)).encode()).digest()[:nbytes]
+            for i in ids
+        )
+    return np.frombuffer(buf, dtype=dtype)
+
+
+def require_integer_ids(arr: np.ndarray, what: str) -> np.ndarray:
+    """Guard for the splitmix64 fast paths: raise the documented
+    TypeError on non-integer id columns instead of a numpy cast error
+    (or, worse, silently numeric-parsing string ids)."""
+    if not np.issubdtype(np.asarray(arr).dtype, np.integer):
+        raise TypeError(
+            f"splitmix64 {what} needs integer ids; use method='md5' "
+            "for string ids"
+        )
+    return arr
+
+
 def add_url_hash(ds, num_buckets: int = 1024):
     """Append a deterministic ``url_hash`` bucket column."""
     return ds.map_batches(

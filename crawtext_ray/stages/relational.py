@@ -711,9 +711,9 @@ def sample_docs_deterministic(sf_dir: str, pct: int = 10,
     per row. ``method="splitmix64"``: top 8 bits of the vectorized
     splitmix64 finalizer — the PRODUCTION mode for 10^12-row corpora
     (~70x faster, zero Python per row); integer ids only."""
-    import hashlib
-
     import numpy as np
+
+    from .partitioning import md5_prefix_array, require_integer_ids, splitmix64
 
     cut = 256 * pct // 100
 
@@ -721,19 +721,12 @@ def sample_docs_deterministic(sf_dir: str, pct: int = 10,
         if batch.num_rows == 0:
             return batch
         if method == "splitmix64":
-            from .partitioning import splitmix64
-
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            ids = require_integer_ids(
+                batch["doc_id"].to_numpy(zero_copy_only=False), "sampling"
+            )
             keep = (splitmix64(ids) >> np.uint64(56)).astype(np.int64) < cut
             return batch.filter(pa.array(keep))
-        # md5 mode: one digest per id is the irreducible Python (oracle
-        # parity pins md5); digests land in ONE buffer, the compare runs
-        # vectorized (the partitioning._hash_urls pattern)
-        buf = b"".join(
-            hashlib.md5(str(i).encode()).digest()[:1]
-            for i in batch["doc_id"].to_pylist()
-        )
-        keep = np.frombuffer(buf, dtype=np.uint8) < cut
+        keep = md5_prefix_array(batch["doc_id"].to_pylist(), 1) < cut
         return batch.filter(pa.array(keep))
 
     return _docs(sf_dir, ["doc_id", "lang"]).map_batches(

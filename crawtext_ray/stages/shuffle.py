@@ -11,54 +11,45 @@ the same statistical effect deterministically and resumably:
   ``(h, key)``) — rerunning the job, or re-running only one failed
   shard, reproduces identical bytes;
 - the only exchange is ONE keyed groupby on ``shard`` (the hash is
-  computed map-side), not a row-level all-to-all;
+  computed map-side), not a row-level all-to-all — the write/pack
+  variants fuse their work into that same single groupby;
 - shard files are written independently (``part-<shard>.parquet``), so a
   failed export resumes per shard.
 
 Hash modes mirror the sampling ops: ``splitmix64`` (vectorized, integer
 keys, the production mode) and ``md5`` (any key type, bit-reproducible
-in SQL — the oracle/differential mode).
+in SQL — the oracle/differential mode); both kernels are shared with
+the samplers via stages.partitioning.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pyarrow as pa
 
 
 def _row_hashes(ids, method: str, seed: int) -> np.ndarray:
-    if method == "splitmix64":
-        from .partitioning import splitmix64
+    from .partitioning import md5_prefix_array, require_integer_ids, splitmix64
 
-        arr = np.asarray(ids)
-        if not np.issubdtype(arr.dtype, np.integer):
-            raise TypeError(
-                "splitmix64 shuffling needs integer keys; use "
-                "method='md5' for string keys"
-            )
+    if method == "splitmix64":
+        arr = require_integer_ids(np.asarray(ids), "sharding")
         with np.errstate(over="ignore"):
             mixed = arr.astype(np.uint64) + splitmix64(
                 np.full(1, seed, dtype=np.uint64)
             )
         return splitmix64(mixed)
     if method == "md5":
-        # one digest per key is the irreducible Python (SQL parity pins
-        # md5); digests land in one buffer (partitioning._hash_urls
-        # pattern). Seed is mixed into the hashed text.
-        buf = b"".join(
-            hashlib.md5(f"{seed}:{i}".encode()).digest()[:8] for i in ids
-        )
-        return np.frombuffer(buf, dtype=">u8").astype(np.uint64)
+        return md5_prefix_array(ids, 8, seed=seed).astype(np.uint64)
     raise ValueError(f"unknown hash method {method!r}")
 
 
-def shuffle_shards(ds, n_shards: int = 64, key: str = "doc_id",
-                   seed: int = 0, method: str = "splitmix64"):
-    """Assign every row a ``shard`` and its deterministic ``pos`` within
-    that shard; rows come back grouped by shard and ordered by position.
-    Columns are preserved; ``shard``/``pos`` are appended (int64)."""
+def _grouped_shuffle(ds, n_shards: int, key: str, seed: int, method: str,
+                     finish):
+    """Shared core: map-side shard+hash assignment, then ONE keyed
+    groupby whose group function sorts the shard into shuffle order,
+    assigns ``pos``, and hands the ordered table to ``finish`` (the
+    caller's per-shard work — identity, packing, or file write) — so
+    every variant pays exactly one exchange and one sort."""
 
     def assign(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -78,57 +69,89 @@ def shuffle_shards(ds, n_shards: int = 64, key: str = "doc_id",
                             zero_copy_batch=True)
 
     def order(g: pa.Table) -> pa.Table:
-        # one Arrow call per SHARD (n_shards groups, never row/key
-        # cardinality); the within-shard order is the shuffle order.
         # pyarrow groups (not pandas): rows may carry list/struct
         # columns (articles do), which pandas map_groups cannot emit
+        if g.num_rows == 0:
+            return finish(g.drop_columns(["_h"]).append_column(
+                "pos", pa.array([], pa.int64())
+            ))
         g = g.sort_by([("_h", "ascending"), (key, "ascending")])
         g = g.append_column(
             "pos", pa.array(np.arange(g.num_rows, dtype=np.int64))
         )
-        return g.drop_columns(["_h"])
+        return finish(g.drop_columns(["_h"]))
 
     return hashed.groupby("shard").map_groups(order, batch_format="pyarrow")
+
+
+def shuffle_shards(ds, n_shards: int = 64, key: str = "doc_id",
+                   seed: int = 0, method: str = "splitmix64"):
+    """Assign every row a ``shard`` and its deterministic ``pos`` within
+    that shard; rows come back grouped by shard and ordered by position.
+    Columns are preserved; ``shard``/``pos`` are appended (int64)."""
+    return _grouped_shuffle(ds, n_shards, key, seed, method, lambda g: g)
 
 
 def write_training_shards(ds, out_dir: str, n_shards: int = 64,
                           key: str = "doc_id", seed: int = 0,
                           method: str = "splitmix64") -> list[dict]:
     """Shuffle-shard ``ds`` and write one parquet file per shard
-    (``part-<shard>.parquet``, rows in shuffle order) plus a driver-side
-    manifest [{shard, rows, path}]. Atomic per shard (tmp+rename): a
-    crashed export resumes by re-running — finished shards rewrite
-    identical bytes, so the operation is idempotent."""
+    (``part-<shard>.parquet``, rows in shuffle order, written inside the
+    single shuffle groupby) plus a driver-side manifest
+    [{shard, rows, path}] covering ALL ``n_shards`` entries — rowless
+    shards get an empty file with the full schema, so a rank-per-file
+    loader never hits a hole. ``out_dir`` is cleared of stale part files
+    first (a prior export with a different n_shards must not leak extra
+    parts into a glob). Atomic per shard (tmp+rename) and idempotent:
+    re-running rewrites identical bytes."""
+    import glob
     import os
 
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    shuffled = shuffle_shards(ds, n_shards=n_shards, key=key, seed=seed,
-                              method=method)
-    manifest: list[dict] = []
+    for stale in glob.glob(os.path.join(out_dir, "part-*.parquet")):
+        os.remove(stale)
 
     def write_shard(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return pa.table({"shard": pa.array([], pa.int64()),
                              "rows": pa.array([], pa.int64())})
         shard = int(g["shard"][0].as_py())
-        g = g.sort_by([("pos", "ascending")])
         path = os.path.join(out_dir, f"part-{shard:05d}.parquet")
         pq.write_table(g, path + ".tmp")
         os.replace(path + ".tmp", path)
         return pa.table({"shard": pa.array([shard], pa.int64()),
                          "rows": pa.array([g.num_rows], pa.int64())})
 
-    recs = shuffled.groupby("shard").map_groups(
-        write_shard, batch_format="pyarrow"
-    ).take_all()
-    for r in sorted(recs, key=lambda r: r["shard"]):
-        manifest.append({
-            "shard": int(r["shard"]), "rows": int(r["rows"]),
-            "path": os.path.join(out_dir, f"part-{int(r['shard']):05d}.parquet"),
-        })
-    return manifest
+    recs = {
+        int(r["shard"]): int(r["rows"])
+        for r in _grouped_shuffle(ds, n_shards, key, seed, method,
+                                  write_shard).take_all()
+    }
+    # rowless shards (tiny corpora / unlucky hashes): write empty files
+    # with the real schema so part-00000..part-<N-1> is always complete
+    missing = [s for s in range(n_shards) if s not in recs]
+    if missing:
+        written = sorted(set(range(n_shards)) - set(missing))
+        if written:
+            schema = pq.read_schema(
+                os.path.join(out_dir, f"part-{written[0]:05d}.parquet")
+            )
+        else:  # fully empty input: key + shard + pos is all we know
+            schema = pa.schema([(key, pa.string()), ("shard", pa.int64()),
+                                ("pos", pa.int64())])
+        empty = pa.table({f.name: pa.array([], f.type) for f in schema})
+        for s in missing:
+            path = os.path.join(out_dir, f"part-{s:05d}.parquet")
+            pq.write_table(empty, path + ".tmp")
+            os.replace(path + ".tmp", path)
+            recs[s] = 0
+    return [
+        {"shard": s, "rows": recs[s],
+         "path": os.path.join(out_dir, f"part-{s:05d}.parquet")}
+        for s in range(n_shards)
+    ]
 
 
 def pack_sequences(ds, seq_len: int, key: str = "doc_id",
@@ -144,21 +167,17 @@ def pack_sequences(ds, seq_len: int, key: str = "doc_id",
     (documents may straddle pack boundaries, as in GPT-style training).
 
     Scale shape: shard assignment is map-side; the per-shard exclusive
-    cumsum is one vectorized pass per SHARD group (pyarrow groups —
-    works with nested article columns). Deterministic end to end, so
-    loaders on different hosts agree on the layout without coordination.
-    Output: input columns + (shard, pos, pack_id, pack_offset); pack_id
-    is unique WITHIN a shard — loaders consume one shard each, which is
-    the point."""
-    shuffled = shuffle_shards(ds, n_shards=n_shards, key=key, seed=seed,
-                              method=method)
+    cumsum runs inside the SAME single shuffle groupby (no second
+    exchange). Deterministic end to end, so loaders on different hosts
+    agree on the layout without coordination. Output: input columns +
+    (shard, pos, pack_id, pack_offset); pack_id is unique WITHIN a
+    shard — loaders consume one shard each, which is the point."""
 
     def pack(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return g.append_column(
                 "pack_id", pa.array([], pa.int64())
             ).append_column("pack_offset", pa.array([], pa.int64()))
-        g = g.sort_by([("pos", "ascending")])
         toks = g[n_tokens_col].to_numpy(zero_copy_only=False).astype(np.int64)
         prev = np.concatenate(([0], np.cumsum(toks)[:-1]))
         return g.append_column(
@@ -167,4 +186,4 @@ def pack_sequences(ds, seq_len: int, key: str = "doc_id",
             "pack_offset", pa.array(prev % seq_len, pa.int64())
         )
 
-    return shuffled.groupby("shard").map_groups(pack, batch_format="pyarrow")
+    return _grouped_shuffle(ds, n_shards, key, seed, method, pack)

@@ -590,32 +590,20 @@ def stratified_sample(docs, rates: dict, strata_col: str = "lang",
     ``method="splitmix64"``: top 16 bits of the vectorized splitmix64
     finalizer over integer ids — the PRODUCTION mode for 10^12-row
     corpora (~70x faster, zero Python per row); integer ids only."""
-    import hashlib
-
     import numpy as np
+
+    from .partitioning import md5_prefix_array, require_integer_ids, splitmix64
 
     cuts = {k: int(65536 * v) for k, v in rates.items()}
     default_cut = int(65536 * default_rate)
 
     def hash16(batch: pa.Table) -> "np.ndarray":
         if method == "splitmix64":
-            from .partitioning import splitmix64
-
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            if not np.issubdtype(ids.dtype, np.integer):
-                raise TypeError(
-                    "splitmix64 sampling needs integer ids; use "
-                    "method='md5' for string ids"
-                )
+            ids = require_integer_ids(
+                batch[id_col].to_numpy(zero_copy_only=False), "sampling"
+            )
             return (splitmix64(ids) >> np.uint64(48)).astype(np.int64)
-        # md5 mode: one digest per id is the irreducible Python (oracle
-        # parity pins md5); digests land in ONE buffer decoded by a
-        # single frombuffer (partitioning._hash_urls pattern)
-        buf = b"".join(
-            hashlib.md5(str(i).encode()).digest()[:2]
-            for i in batch[id_col].to_pylist()
-        )
-        return np.frombuffer(buf, dtype=">u2")
+        return md5_prefix_array(batch[id_col].to_pylist(), 2)
 
     def fn(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

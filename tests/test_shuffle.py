@@ -99,10 +99,45 @@ def test_shuffle_shards_string_keys_need_md5(ray_session):
     from crawtext_ray.stages.shuffle import shuffle_shards
 
     ds = rd.from_items([{"doc_id": "a"}, {"doc_id": "b"}])
-    with pytest.raises(Exception, match="integer keys"):
+    with pytest.raises(Exception, match="integer ids"):
         shuffle_shards(ds, n_shards=2).to_pandas()
     out = shuffle_shards(ds, n_shards=2, method="md5").to_pandas()
     assert set(out["doc_id"]) == {"a", "b"}
+
+
+def test_write_training_shards_complete_manifest_and_stale_cleanup(
+        ray_session, tmp_path):
+    """Rowless shards still get (empty, schema-correct) part files so a
+    rank-per-file loader never hits a hole, and stale parts from a prior
+    export with a different n_shards are cleared."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawtext_ray.stages.shuffle import write_training_shards
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["a", "b", "c"],
+    }))
+    out = str(tmp_path / "s")
+    m1 = write_training_shards(ds, out, n_shards=16, seed=1)
+    assert [m["shard"] for m in m1] == list(range(16))
+    assert sum(m["rows"] for m in m1) == 3
+    files = sorted(os.listdir(out))
+    assert files == [f"part-{i:05d}.parquet" for i in range(16)]
+    # empty shards carry the real schema
+    empty = next(m for m in m1 if m["rows"] == 0)
+    t = pq.read_table(empty["path"])
+    assert t.num_rows == 0
+    assert {"doc_id", "text", "shard", "pos"} <= set(t.column_names)
+    # re-export with fewer shards: the 16-part layout must not leak
+    m2 = write_training_shards(ds, out, n_shards=4, seed=1)
+    files = sorted(os.listdir(out))
+    assert files == [f"part-{i:05d}.parquet" for i in range(4)]
+    assert sum(m["rows"] for m in m2) == 3
 
 
 def test_export_shards_cli_over_articles(ray_session, pages_small, tmp_path):
