@@ -227,7 +227,10 @@ def _q_minhash_dups(sf_dir: str):
     The brute-force O(n²) diagnostic (formerly its own driver slot,
     ``jaccard_dups_brute``) is folded in as an in-query assertion: on
     corpora under the cap, the exact cross-product truth must equal the
-    LSH+verify output pair-for-pair — merged, never dropped."""
+    LSH+verify output pair-for-pair — merged, never dropped. The cap
+    (2000 docs) covers the driver's correctness scale (sf0.01 = 500
+    docs) while keeping the sf0.1 parity sweep free of the O(n²) pass —
+    the same boundary the standalone diagnostic ran under."""
     import pandas as pd
     import ray.data as rd
 
@@ -246,7 +249,7 @@ def _q_minhash_dups(sf_dir: str):
             "doc_id_b": pd.Series([], dtype="int64"),
             "jaccard": pd.Series([], dtype="float64"),
         })
-    if docs.count() <= 20_000:  # the diagnostic is O(n²) by design
+    if docs.count() <= 2_000:  # the diagnostic is O(n²) by design
         brute = jaccard_dups_brute(docs, k=3, threshold=0.5).to_pandas()
         lsh_pairs = {(int(r["doc_id_a"]), int(r["doc_id_b"]), r["jaccard"])
                      for _, r in got.iterrows()}
