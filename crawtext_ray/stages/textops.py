@@ -616,3 +616,64 @@ def stratified_sample(docs, rates: dict, strata_col: str = "lang",
         return batch.filter(pa.array(hash16(batch) < cut))
 
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def corpus_data_card(docs, text_col: str = "text", lang_col: str = "lang"):
+    """The corpus "data card" a training-mix planner reads: one row per
+    language with document, token, and character totals (house
+    tokenizer: [a-z0-9]+ runs on lowercased text) plus the mean
+    document length in tokens. ONE streaming pass — per-batch partials
+    (vectorized Arrow kernels) merged on the driver, no shuffle at all
+    (the key domain is languages; the report pattern of report_lang)."""
+    import collections
+
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch[text_col])
+        toks = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+        arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        vals = pc.list_flatten(arr)
+        import numpy as np
+
+        row_idx = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+        keep = pc.utf8_length(vals).to_numpy(zero_copy_only=False) > 0
+        n_toks = np.bincount(row_idx[keep], minlength=batch.num_rows)
+        n_chars = pc.utf8_length(batch[text_col]).to_numpy(
+            zero_copy_only=False
+        )
+        langs = batch[lang_col].to_pylist()
+        agg: dict[str, list[int]] = {}
+        for i, lg in enumerate(langs):
+            a = agg.setdefault(lg, [0, 0, 0])
+            a[0] += 1
+            a[1] += int(n_toks[i])
+            a[2] += int(n_chars[i])
+        keys = sorted(agg)
+        return pa.table({
+            lang_col: pa.array(keys, pa.string()),
+            "p_docs": pa.array([agg[k][0] for k in keys], pa.int64()),
+            "p_tokens": pa.array([agg[k][1] for k in keys], pa.int64()),
+            "p_chars": pa.array([agg[k][2] for k in keys], pa.int64()),
+        })
+
+    parts = docs.select_columns([lang_col, text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    tot: dict[str, list[int]] = collections.defaultdict(lambda: [0, 0, 0])
+    for r in parts:
+        t = tot[r[lang_col]]
+        t[0] += r["p_docs"]
+        t[1] += r["p_tokens"]
+        t[2] += r["p_chars"]
+    import pandas as pd
+
+    keys = sorted(tot)
+    df = pd.DataFrame({
+        lang_col: keys,
+        "n_docs": [tot[k][0] for k in keys],
+        "n_tokens": [tot[k][1] for k in keys],
+        "n_chars": [tot[k][2] for k in keys],
+    })
+    df["mean_doc_tokens"] = df["n_tokens"] / df["n_docs"]
+    return df

@@ -493,3 +493,33 @@ def test_curate_with_lm_gate_and_rates(ray_session, pages_small, tmp_path):
     assert not (out["lang"] == "en").any()
     # fr sampled at 1.0: every fr article that survives the gates stays
     assert (out["lang"] == "fr").sum() > 0
+
+
+def test_corpus_data_card_vs_duckdb(ray_session):
+    """The per-language data card matches the SQL definition exactly
+    (docs/tokens/chars totals and the mean)."""
+    import duckdb
+    import ray.data as rd
+
+    from crawtext_ray.stages.textops import corpus_data_card
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    got = corpus_data_card(docs).sort_values("lang").reset_index(drop=True)
+    sql = """
+    WITH t AS (
+      SELECT lang, length(text) AS n_chars,
+             len(list_filter(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+'), x -> x <> '')) AS n_toks
+      FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n_toks)::BIGINT AS n_tokens,
+           sum(n_chars)::BIGINT AS n_chars,
+           sum(n_toks)::DOUBLE / count(*) AS mean_doc_tokens
+    FROM t GROUP BY lang ORDER BY lang
+    """
+    exp = duckdb.connect().execute(sql).df()
+    assert got[["lang", "n_docs", "n_tokens", "n_chars"]].equals(
+        exp[["lang", "n_docs", "n_tokens", "n_chars"]])
+    assert (got["mean_doc_tokens"] - exp["mean_doc_tokens"]).abs().max() < 1e-9
+    assert got["n_docs"].sum() == 500
