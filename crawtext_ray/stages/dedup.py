@@ -1234,7 +1234,8 @@ def _para_hashes(text: str, min_chars: int) -> tuple[list[str], np.ndarray]:
 
 
 def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
-                     min_chars: int = 1, broadcast_cap: int = 20_000_000):
+                     min_chars: int = 1, broadcast_cap: int = 20_000_000,
+                     fp_rate: float = 1e-6):
     """Corpus-wide PARAGRAPH-level exact dedup (the C4/Dolma-style line
     dedup generalized to paragraphs): every paragraph keeps exactly its
     FIRST occurrence — ordered by (doc id, paragraph index) — and every
@@ -1247,16 +1248,24 @@ def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
     Scale shape (the exact-dedup house pattern): texts never shuffle —
     map pass A emits only (hash, packed) pairs, ONE hash aggregate
     prefilters to duplicated hashes (Count >= 2) and picks each winner
-    (Min of packed = lexicographic-first occurrence), the winner map —
-    O(duplicated paragraphs), not O(paragraphs) — broadcasts via
-    ray.put, and map pass B rebuilds documents streaming. Raises above
-    ``broadcast_cap`` (the keyed above-cap form is future work; the cap
-    is ~320 MB of winner map).
+    (Min of packed = lexicographic-first occurrence), and map pass B
+    rebuilds documents streaming. Two modes by threshold (the house
+    pattern): at or under ``broadcast_cap`` duplicated paragraphs the
+    exact winner map broadcasts via ray.put; ABOVE it, two distributed
+    Bloom filters replace the map (the Dolma-style tradeoff) — one over
+    duplicated hashes, one over (hash, winner) pairs — so driver/worker
+    memory stays O(filter bits) at any corpus size. Bloom mode keeps
+    every true winner (winner-filter false positives keep a loser; dup-
+    filter false positives can drop a UNIQUE paragraph at ~``fp_rate``
+    — pick it per corpus; exactness below the cap is unchanged). An
+    equivalence test forces the cap to 0 and checks bloom == broadcast.
 
     Packing: winner order = doc_id * 2^20 + idx, so id_col must be an
     integer < 2^43 and docs must have < 2^20 paragraphs (asserted)."""
     import ray
     from ray.data.aggregate import Count, Min
+
+    from ..state.bloom import build_bloom
 
     def emit_pairs(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -1291,19 +1300,64 @@ def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
     ).materialize()
     n_dup = dup_winners.count()
     if n_dup > broadcast_cap:
-        raise ValueError(
-            f"{n_dup} duplicated paragraphs exceed broadcast_cap="
-            f"{broadcast_cap}; raise the cap or pre-partition the corpus"
+        # Bloom mode: two distributed filters instead of the exact map.
+        # Keyed on the string forms so the existing md5-based Bloom
+        # machinery applies unchanged.
+        dup_keys = dup_winners.map_batches(
+            lambda t: pa.table({"k": pa.array(
+                [str(v) for v in t["ph"].to_pylist()], pa.string())}),
+            batch_format="pyarrow", zero_copy_batch=True,
         )
-    winners: dict[int, int] = {}
-    for b in dup_winners.iter_batches(batch_format="pyarrow"):
-        winners.update(zip(b["ph"].to_pylist(), b["w"].to_pylist()))
-    ref = ray.put(winners)
+        win_keys = dup_winners.map_batches(
+            lambda t: pa.table({"k": pa.array(
+                [f"{p}:{w}" for p, w in zip(t["ph"].to_pylist(),
+                                            t["w"].to_pylist())],
+                pa.string())}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        dup_ref = ray.put(build_bloom(dup_keys, "k", capacity=n_dup,
+                                      fp_rate=fp_rate))
+        win_ref = ray.put(build_bloom(win_keys, "k", capacity=n_dup,
+                                      fp_rate=fp_rate))
+        win_map_ref = None
+    else:
+        winners: dict[int, int] = {}
+        for b in dup_winners.iter_batches(batch_format="pyarrow"):
+            winners.update(zip(b["ph"].to_pylist(), b["w"].to_pylist()))
+        win_map_ref = ray.put(winners)
+        dup_ref = win_ref = None
 
     from .fusion import map_stage
 
     def factory():
-        win = ray.get(ref)
+        win = ray.get(win_map_ref) if win_map_ref is not None else None
+        dup_bloom = ray.get(dup_ref) if dup_ref is not None else None
+        win_bloom = ray.get(win_ref) if win_ref is not None else None
+
+        def keep_mask(did: int, h: np.ndarray) -> list[bool]:
+            if win is not None:
+                return [
+                    hh == 0
+                    or win.get(int(hh), (did << 20) + i) == (did << 20) + i
+                    for i, hh in enumerate(h)
+                ]
+            # bloom mode: eligible paras probe the dup filter; hits keep
+            # only if (hash, own-position) is (probably) the winner pair
+            elig = np.flatnonzero(h)
+            mask = [True] * len(h)
+            if not len(elig):
+                return mask
+            in_dup = dup_bloom.contains_batch(
+                [str(int(h[i])) for i in elig]
+            )
+            hits = elig[in_dup]
+            if len(hits):
+                is_win = win_bloom.contains_batch(
+                    [f"{int(h[i])}:{(did << 20) + int(i)}" for i in hits]
+                )
+                for i, ok in zip(hits, is_win):
+                    mask[int(i)] = bool(ok)
+            return mask
 
         def rebuild(batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -1311,12 +1365,10 @@ def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
             for did, t in zip(ids, batch[text_col].to_pylist()):
                 did = int(did)
                 paras, h = _para_hashes(t, min_chars)
-                kept = [
-                    p for i, (p, hh) in enumerate(zip(paras, h))
-                    if hh == 0
-                    or win.get(int(hh), (did << 20) + i) == (did << 20) + i
-                ]
-                texts.append("\n\n".join(kept))
+                mask = keep_mask(did, h)
+                texts.append(
+                    "\n\n".join(p for p, k in zip(paras, mask) if k)
+                )
             return pa.table({
                 id_col: batch[id_col],
                 "clean_text": pa.array(texts, pa.string()),

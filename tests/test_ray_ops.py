@@ -824,3 +824,29 @@ def test_dedup_paragraphs_vs_duckdb(ray_session):
     n_footer = sum("global footer boilerplate" in v for v in got.values())
     n_promo = sum("promo block variant" in v for v in got.values())
     assert n_footer == 1 and n_promo == 5
+
+
+def test_dedup_paragraphs_bloom_mode_equals_broadcast(ray_session):
+    """Forcing broadcast_cap=0 switches to the two-Bloom above-cap mode;
+    with adequately sized filters the output equals the exact broadcast
+    mode on a corpus with heavy planted duplication."""
+    import ray.data as rd
+
+    from crawtext_ray.stages.dedup import dedup_paragraphs
+
+    footer = "shared footer paragraph with several words"
+    rows = []
+    for i in range(60):
+        paras = [f"unique body paragraph number {i}"]
+        if i % 2 == 0:
+            paras.append(footer)
+        paras.append(f"promo variant {i % 7}")
+        rows.append({"doc_id": i, "text": "\n\n".join(paras)})
+    ds = rd.from_items(rows)
+    exact = {r["doc_id"]: r["clean_text"]
+             for r in dedup_paragraphs(ds, min_chars=2).take_all()}
+    bloom = {r["doc_id"]: r["clean_text"]
+             for r in dedup_paragraphs(ds, min_chars=2, broadcast_cap=0,
+                                       fp_rate=1e-9).take_all()}
+    assert bloom == exact
+    assert sum(footer in v for v in exact.values()) == 1
