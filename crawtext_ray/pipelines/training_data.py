@@ -294,6 +294,8 @@ def curate(
     max_nll: float | None = None,
     lm_model_docs=None,
     rates: dict | None = None,
+    dedup_paras: bool = False,
+    para_min_chars: int = 30,
 ):
     """Full curation chain; returns the curated articles Dataset (written
     to ``out_dir`` when given). ``verify_dups``: exact-Jaccard threshold
@@ -307,7 +309,12 @@ def curate(
     (trained on ``lm_model_docs`` or on the gated corpus itself) exceeds
     the threshold. ``rates``: optional per-language quota sampling
     applied LAST (after dedup — sampling first would bias which
-    duplicate survives), e.g. ``{"en": 0.3}`` to downsample English."""
+    duplicate survives), e.g. ``{"en": 0.3}`` to downsample English.
+    ``dedup_paras``: corpus-wide paragraph-level exact dedup (C4/Dolma
+    boilerplate removal) applied to the checkpointed corpus — every
+    paragraph of >= ``para_min_chars`` chars keeps one occurrence
+    corpus-wide; n_words and content_sha256 are recomputed so the
+    downstream exact dedup sees the cleaned text."""
     arts = build_articles(
         pages_path,
         query_expression=query_expression,
@@ -353,6 +360,33 @@ def curate(
         gated = rd.read_parquet(ckpt_dir, file_extensions=["parquet"])
     else:
         gated = gate.materialize()
+    if dedup_paras:
+        import hashlib as _hl
+
+        from ..stages.dedup import dedup_paragraphs
+
+        # after the checkpoint on purpose (like the LM gate): the
+        # operator's pair-emission pass and the downstream dedup scans
+        # then re-read cheap parquet, never re-run extraction
+        gated = dedup_paragraphs(gated, text_col="extracted_text",
+                                 id_col="url", min_chars=para_min_chars,
+                                 output="replace")
+
+        def refresh(t: pa.Table) -> pa.Table:
+            texts = t["extracted_text"].to_pylist()
+            nw = pa.array([len((x or "").split()) for x in texts],
+                          pa.int32())
+            sha = pa.array(
+                [_hl.sha256((x or "").encode("utf-8")).digest()
+                 for x in texts], pa.binary())
+            t = t.set_column(t.schema.get_field_index("n_words"),
+                             "n_words", nw)
+            return t.set_column(
+                t.schema.get_field_index("content_sha256"),
+                "content_sha256", sha)
+
+        gated = gated.map_batches(refresh, batch_format="pyarrow",
+                                  zero_copy_batch=True)
     if max_nll is not None:
         from ..stages.textops import lm_gate
 

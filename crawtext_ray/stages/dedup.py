@@ -1233,9 +1233,27 @@ def _para_hashes(text: str, min_chars: int) -> tuple[list[str], np.ndarray]:
     return paras, h
 
 
+def _packing_ids(ids) -> "np.ndarray":
+    """int64 packing ids for the paragraph-dedup winner order: integer
+    ids pass through (range-checked); string ids (e.g. article urls)
+    take the top 43 bits of md5 — a collision merges two docs' winner
+    namespaces (worst case: one duplicated paragraph survives twice, or
+    a global-first occurrence loses to a hash-earlier doc), at ~n²/2^43
+    probability; the dedup stays deterministic either way."""
+    arr = np.asarray(ids)
+    if np.issubdtype(arr.dtype, np.integer):
+        if arr.size and (arr.min() < 0 or arr.max() >= (1 << 43)):
+            raise ValueError("integer ids out of packing range [0, 2^43)")
+        return arr.astype(np.int64)
+    from .partitioning import md5_prefix_array
+
+    return (md5_prefix_array([str(i) for i in ids], 8)
+            >> np.uint64(21)).astype(np.int64)
+
+
 def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
                      min_chars: int = 1, broadcast_cap: int = 20_000_000,
-                     fp_rate: float = 1e-6):
+                     fp_rate: float = 1e-6, output: str = "ids"):
     """Corpus-wide PARAGRAPH-level exact dedup (the C4/Dolma-style line
     dedup generalized to paragraphs): every paragraph keeps exactly its
     FIRST occurrence — ordered by (doc id, paragraph index) — and every
@@ -1260,20 +1278,22 @@ def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
     — pick it per corpus; exactness below the cap is unchanged). An
     equivalence test forces the cap to 0 and checks bloom == broadcast.
 
-    Packing: winner order = doc_id * 2^20 + idx, so id_col must be an
-    integer < 2^43 and docs must have < 2^20 paragraphs (asserted)."""
+    Packing: winner order = packing_id * 2^20 + idx — integer ids must
+    be < 2^43, string ids are hashed (see ``_packing_ids``), and docs
+    must have < 2^20 paragraphs (asserted).
+
+    ``output="ids"``: (id, clean_text) rows. ``output="replace"``: the
+    INPUT rows with ``text_col`` replaced in place (all other columns
+    preserved) — the curation-chain form."""
     import ray
     from ray.data.aggregate import Count, Min
 
     from ..state.bloom import build_bloom
 
     def emit_pairs(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        dids = _packing_ids(batch[id_col].to_pylist())
         out_h, out_p = [], []
-        for did, t in zip(ids, batch[text_col].to_pylist()):
-            did = int(did)
-            if not (0 <= did < (1 << 43)):
-                raise ValueError(f"{id_col}={did} out of packing range")
+        for did, t in zip(dids.tolist(), batch[text_col].to_pylist()):
             _, h = _para_hashes(t, min_chars)
             if len(h) >= (1 << 20):
                 raise ValueError(f"{id_col}={did}: too many paragraphs")
@@ -1360,14 +1380,21 @@ def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
             return mask
 
         def rebuild(batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            dids = _packing_ids(batch[id_col].to_pylist())
             texts = []
-            for did, t in zip(ids, batch[text_col].to_pylist()):
-                did = int(did)
+            for did, t in zip(dids.tolist(), batch[text_col].to_pylist()):
                 paras, h = _para_hashes(t, min_chars)
                 mask = keep_mask(did, h)
                 texts.append(
                     "\n\n".join(p for p, k in zip(paras, mask) if k)
+                )
+            if output == "replace":
+                arr = pa.array(
+                    texts,
+                    batch.schema.field(text_col).type,
+                )
+                return batch.set_column(
+                    batch.schema.get_field_index(text_col), text_col, arr
                 )
             return pa.table({
                 id_col: batch[id_col],
@@ -1376,4 +1403,5 @@ def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
 
         return rebuild
 
-    return map_stage(ds.select_columns([id_col, text_col]), factory)
+    src = ds if output == "replace" else ds.select_columns([id_col, text_col])
+    return map_stage(src, factory)

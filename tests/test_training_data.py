@@ -523,3 +523,57 @@ def test_corpus_data_card_vs_duckdb(ray_session):
         exp[["lang", "n_docs", "n_tokens", "n_chars"]])
     assert (got["mean_doc_tokens"] - exp["mean_doc_tokens"]).abs().max() < 1e-9
     assert got["n_docs"].sum() == 500
+
+
+def test_curate_with_paragraph_dedup(ray_session, pages_small, tmp_path):
+    """curate(dedup_paras=True) strips cross-article boilerplate
+    paragraphs (one survivor corpus-wide) and refreshes n_words /
+    content_sha256 to match the cleaned text."""
+    import hashlib
+
+    from crawtext_ray.pipelines.training_data import curate
+
+    base = curate(pages_small, out_dir=str(tmp_path / "b"),
+                  num_partitions=4, min_words=10).to_pandas()
+    out = curate(pages_small, out_dir=str(tmp_path / "p"),
+                 num_partitions=4, min_words=10,
+                 dedup_paras=True, para_min_chars=30).to_pandas()
+    assert 0 < len(out) <= len(base)
+    # stats consistent with the (possibly rewritten) text
+    for _, r in out.head(50).iterrows():
+        t = r["extracted_text"] or ""
+        assert r["n_words"] == len(t.split())
+        assert bytes(r["content_sha256"]) == hashlib.sha256(
+            t.encode("utf-8")).digest()
+    # any paragraph >= 30 chars appears at most once corpus-wide
+    from collections import Counter
+
+    paras = Counter()
+    for t in out["extracted_text"]:
+        for p in (t or "").split("\n\n"):
+            if len(p) >= 30:
+                paras[p] += 1
+    assert paras and max(paras.values()) == 1
+
+
+def test_dedup_paragraphs_string_ids(ray_session):
+    """String ids (article urls) pack via the md5 hash path and dedup
+    the same planted boilerplate."""
+    import ray.data as rd
+
+    from crawtext_ray.stages.dedup import dedup_paragraphs
+
+    footer = "shared legal footer paragraph for every page"
+    ds = rd.from_items([
+        {"url": f"http://a.example/{i}",
+         "text": f"body paragraph number {i}\n\n{footer}"}
+        for i in range(10)
+    ])
+    out = dedup_paragraphs(ds, text_col="text", id_col="url",
+                           min_chars=5, output="replace").to_pandas()
+    assert len(out) == 10
+    assert set(out.columns) == {"url", "text"}
+    n_footer = sum(footer in (t or "") for t in out["text"])
+    assert n_footer == 1
+    # every body paragraph is unique and survives
+    assert all("body paragraph number" in (t or "") for t in out["text"])
