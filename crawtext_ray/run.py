@@ -53,6 +53,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="--curate per-language quota sampling applied "
                          "after dedup, e.g. 'en=0.3,fr=1.0' (unlisted "
                          "languages keep rate 1.0)")
+    ap.add_argument("--dedup-paragraphs", action="store_true",
+                    help="--curate corpus-wide paragraph-level exact "
+                         "dedup (C4/Dolma boilerplate removal: every "
+                         ">=30-char paragraph keeps one occurrence)")
     ap.add_argument("--hash-shuffle", action="store_true",
                     help="use the HASH_SHUFFLE strategy (enables keyed "
                          "repartition with true key co-location; default "
@@ -166,6 +170,7 @@ def main(argv: list[str] | None = None) -> int:
                 benchmark=benchmark,
                 max_nll=args.max_nll,
                 rates=lang_rates,
+                dedup_paras=args.dedup_paragraphs,
             )
             print(json.dumps({"out_dir": args.out, "rows": curated.count()}))
         else:
