@@ -404,6 +404,128 @@ def _q_approx_distinct_users(sf_dir: str):
     return pd.DataFrame({"approx_distinct": [float(h.estimate())]})
 
 
+def _q_doc_reports(sf_dir: str):
+    """A1/A2/T1/U2 report family in one slot (merged from the
+    ``report_lang`` + ``report_source`` + ``top_sources`` +
+    ``distinct_langs`` quartet — every operator still runs in full):
+    per-language counts, per-source counts, top-5 sources with the
+    deterministic (count desc, source asc) tiebreak, and the distinct
+    language set, tagged by kind."""
+    import pandas as pd
+
+    from crawtext_ray.stages import relational as R
+
+    lang = R.report_lang_docs(sf_dir).to_pandas().rename(
+        columns={"lang": "key"})
+    lang.insert(0, "kind", "lang")
+    src = R.report_source_docs(sf_dir).to_pandas().rename(
+        columns={"source": "key"})
+    src.insert(0, "kind", "source")
+    top = R.top_sources(sf_dir).to_pandas().rename(
+        columns={"source": "key"})
+    top.insert(0, "kind", "top_source")
+    dl = R.distinct_langs(sf_dir).to_pandas().rename(
+        columns={"lang": "key"})
+    dl.insert(0, "kind", "distinct_lang")
+    dl["n_docs"] = 1
+    out = pd.concat([lang, src, top, dl], ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
+def _q_event_time_rollups(sf_dir: str):
+    """Date bucketing + two-key (type, day) rollups in one slot (merged
+    from ``date_buckets`` + ``events_by_type_day``; both bounded-key
+    map-side-partial operators still run in full)."""
+    import pandas as pd
+
+    from crawtext_ray.stages import relational as R
+
+    day = R.date_buckets_events(sf_dir).to_pandas()
+    day.insert(0, "kind", "day")
+    day.insert(1, "key", "")
+    td = R.events_by_type_day(sf_dir).to_pandas().rename(
+        columns={"event_type": "key"})
+    td.insert(0, "kind", "type_day")
+    out = pd.concat([day, td], ignore_index=True)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out[["kind", "key", "day", "n_events"]]
+
+
+def _q_dedup_paragraphs(sf_dir: str):
+    """Corpus-wide paragraph-level exact dedup with PLANTED shared
+    paragraphs (a global footer on every 3rd doc, five promo variants)
+    rebuilt identically by the hash-free text-keyed SQL oracle — a
+    match also witnesses md5-collision-freeness on this corpus."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawtext_ray.stages.dedup import dedup_paragraphs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out = []
+        for d, x in zip(ids, texts):
+            paras = [x or ""]
+            if d % 3 == 0:
+                paras.append("global footer boilerplate")
+            paras.append(f"promo block variant {d % 5}")
+            out.append("\n\n".join(paras))
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    lined = docs.map_batches(plant, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return dedup_paragraphs(lined, min_chars=1)
+
+
+def _q_shuffle_shards(sf_dir: str):
+    """Deterministic shuffle-shard assignment (training-export layout):
+    one md5 hash per row decides BOTH the shard and the in-shard
+    position — reproduced exactly by the SQL window oracle."""
+    import ray.data as rd
+
+    from crawtext_ray.stages.shuffle import shuffle_shards
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    return shuffle_shards(docs, n_shards=8, seed=0, method="md5")
+
+
+def _q_pack_sequences(sf_dir: str):
+    """GPT-style sequence-packing assignment over the shuffle order
+    (pack id + in-pack offset from the per-shard exclusive token
+    cumsum), reproduced by the SQL window oracle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawtext_ray.stages.shuffle import pack_sequences
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    docs = docs.map_batches(
+        lambda t: t.rename_columns(["doc_id", "n_tokens"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return pack_sequences(docs, seq_len=4096, n_shards=4, seed=1,
+                          method="md5")
+
+
+def _q_corpus_data_card(sf_dir: str):
+    """Per-language corpus data card (docs/tokens/chars + mean doc
+    tokens) — the training-mix planning table, one shuffle-free pass."""
+    import ray.data as rd
+
+    from crawtext_ray.stages.textops import corpus_data_card
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    return corpus_data_card(docs)
+
+
 def _q_set_ops(sf_dir: str):
     """U1/U2 set operations in one slot (merged from the
     ``union_clicks_views`` + ``users_click_and_purchase`` pair — both
@@ -655,22 +777,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # report trio → extract_reports (kind column, now oracle-checked
     # against generator truth); union_clicks_views+users_click_and_purchase
     # → set_ops_events (kind column); jaccard_dups_brute → an in-query
-    # equality assertion inside minhash_dups_docs. The freed slots carry
-    # the round-3 curation operators (decontamination, repetition stats,
-    # unigram-LM scoring, stratified sampling), each oracle-backed.
+    # equality assertion inside minhash_dups_docs;
+    # report_lang+report_source+top_sources+distinct_langs → doc_reports
+    # (kind column); date_buckets+events_by_type_day →
+    # event_time_rollups (kind column). The freed slots carry the
+    # curation/export operators (decontamination, repetition stats,
+    # unigram-LM scoring, stratified sampling, paragraph dedup,
+    # shuffle-sharding, sequence packing, the corpus data card), each
+    # oracle-backed.
     return {
-        # A1/A2/T1/U2 reports + distinct (oracle-checked)
-        "report_lang": R.report_lang_docs,
-        "report_source": R.report_source_docs,
-        "top_sources": R.top_sources,
-        "distinct_langs": R.distinct_langs,
+        # A1/A2/T1/U2 report family, one kind-tagged slot (oracle-checked)
+        "doc_reports": _q_doc_reports,
         # J2 dedup + filters (oracle-checked)
         "dedup_events_first": R.dedup_events_first,
         "filter_events": R.filter_events,
         # scalar fns (oracle-checked)
         "doc_stats": R.doc_stats_docs,
         "json_extract": R.json_extract_events,
-        "date_buckets": R.date_buckets_events,
+        "event_time_rollups": _q_event_time_rollups,
         "window_hourly": R.window_hourly_events,
         "user_event_stats": R.user_event_stats,
         # joins (oracle-checked)
@@ -684,7 +808,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sort / star join / stats (oracle-checked)
         "top_events": R.top_events_by_value,
         "customers_per_region": R.customers_per_region,
-        "events_by_type_day": R.events_by_type_day,
         "median_chars": R.median_chars_by_lang,
         # global aggregate (+ exact distinct users) + set ops (oracle-checked)
         "global_event_stats": R.global_event_stats,
@@ -716,6 +839,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats_docs": _q_repetition_stats,
         "unigram_lm_docs": _q_unigram_lm,
         "stratified_sample_docs": _q_stratified_sample,
+        "dedup_paragraphs_docs": _q_dedup_paragraphs,
+        "shuffle_shards_docs": _q_shuffle_shards,
+        "pack_sequences_docs": _q_pack_sequences,
+        "corpus_data_card": _q_corpus_data_card,
         # multimodal plumbing (oracle-checked over fake kernels; frames +
         # audio segments merged in as digest columns)
         "media_features": _q_media_features,
@@ -831,13 +958,19 @@ def oracle_sql() -> dict[str, str]:
         f"% CAST({_FP_M} AS HUGEINT))) AS BIGINT) END AS fingerprint FROM t"
     )
     return {
-        "report_lang": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
-        "report_source": "SELECT source, count(*) AS n_docs FROM documents GROUP BY source",
-        "top_sources": (
-            "SELECT source, count(*) AS n_docs FROM documents "
-            "GROUP BY source ORDER BY n_docs DESC, source LIMIT 5"
+        "doc_reports": (
+            "SELECT 'lang' AS kind, lang AS key, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang "
+            "UNION ALL SELECT 'source' AS kind, source AS key, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source "
+            "UNION ALL SELECT 'top_source' AS kind, key, n_docs FROM ("
+            "SELECT source AS key, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY source "
+            "ORDER BY n_docs DESC, source LIMIT 5) "
+            "UNION ALL SELECT 'distinct_lang' AS kind, lang AS key, "
+            "CAST(1 AS BIGINT) AS n_docs "
+            "FROM (SELECT DISTINCT lang FROM documents)"
         ),
-        "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "dedup_events_first": (
             "SELECT user_id, event_id, event_type FROM ("
             "  SELECT user_id, event_id, event_type,"
@@ -863,9 +996,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val "
             "FROM events"
         ),
-        "date_buckets": (
-            "SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events "
-            "FROM events GROUP BY 1"
+        "event_time_rollups": (
+            "SELECT 'day' AS kind, '' AS key, strftime(ts, '%Y-%m-%d') AS day, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 3 "
+            "UNION ALL SELECT 'type_day' AS kind, event_type AS key, "
+            "strftime(ts, '%Y-%m-%d') AS day, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 2, 3"
         ),
         "window_hourly": (
             "SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start, "
@@ -907,10 +1043,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r_name, n_name, count(*) AS n_customers FROM customer "
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2"
-        ),
-        "events_by_type_day": (
-            "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events "
-            "FROM events GROUP BY 1, 2"
         ),
         "median_chars": (
             "SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS median_chars "
@@ -1239,5 +1371,63 @@ def oracle_sql() -> dict[str, str]:
         "bfs_crawl_pages": (
             "SELECT url, depth FROM "
             f"read_parquet('{_FIXTURE_ROOT}/truth_linked/*.parquet')"
+        ),
+        # paragraph-level dedup with planted shared paragraphs; the
+        # oracle keys on paragraph TEXT (hash-free), so a match also
+        # witnesses md5-collision-freeness on this corpus
+        "dedup_paragraphs_docs": (
+            "WITH base AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || chr(10) "
+            "|| 'global footer boilerplate' ELSE text END "
+            "|| chr(10) || chr(10) || 'promo block variant ' "
+            "|| CAST(doc_id % 5 AS VARCHAR) AS text FROM documents), "
+            "t AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) "
+            "AS paras FROM base), "
+            "p AS (SELECT doc_id, i AS idx, paras[i] AS para "
+            "FROM t, UNNEST(generate_series(1, len(paras))) AS u(i)), "
+            "win AS (SELECT para, min(doc_id * 1048576 + idx) AS w FROM p "
+            "WHERE length(para) >= 1 GROUP BY para HAVING count(*) >= 2), "
+            "kept AS (SELECT p.doc_id, p.idx, p.para FROM p LEFT JOIN win "
+            "ON win.para = p.para AND length(p.para) >= 1 "
+            "WHERE win.para IS NULL OR p.doc_id * 1048576 + p.idx = win.w) "
+            "SELECT t.doc_id, COALESCE((SELECT string_agg(k.para, "
+            "chr(10) || chr(10) ORDER BY k.idx) FROM kept k "
+            "WHERE k.doc_id = t.doc_id), '') AS clean_text FROM t"
+        ),
+        # shuffle-shard layout: one md5 per row decides shard AND
+        # in-shard position (the training-export determinism contract)
+        "shuffle_shards_docs": (
+            "WITH h AS (SELECT doc_id, lang, "
+            "CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 16)) "
+            "AS UBIGINT) AS hh FROM documents) "
+            "SELECT doc_id, lang, CAST(hh % 8 AS BIGINT) AS shard, "
+            "CAST(row_number() OVER (PARTITION BY hh % 8 "
+            "ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos FROM h"
+        ),
+        # sequence packing: per-shard exclusive cumsum over the shuffle
+        # order cut into 4096-token windows
+        "pack_sequences_docs": (
+            "WITH h AS (SELECT doc_id, n_chars AS n_tokens, "
+            "CAST(('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 16)) "
+            "AS UBIGINT) AS hh FROM documents), "
+            "o AS (SELECT doc_id, n_tokens, CAST(hh % 4 AS BIGINT) AS shard, "
+            "CAST(row_number() OVER w - 1 AS BIGINT) AS pos, "
+            "CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY hh % 4 "
+            "ORDER BY hh, doc_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING), 0) AS BIGINT) AS prev "
+            "FROM h WINDOW w AS (PARTITION BY hh % 4 ORDER BY hh, doc_id)) "
+            "SELECT doc_id, n_tokens, shard, pos, "
+            "prev // 4096 AS pack_id, prev % 4096 AS pack_offset FROM o"
+        ),
+        # the per-language data card: integer totals + one exact division
+        "corpus_data_card": (
+            "WITH t AS (SELECT lang, length(text) AS n_chars, "
+            "len(list_filter(regexp_split_to_array(lower(text), "
+            "'[^a-z0-9]+'), x -> x <> '')) AS n_toks FROM documents) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_toks) AS BIGINT) AS n_tokens, "
+            "CAST(sum(n_chars) AS BIGINT) AS n_chars, "
+            "CAST(sum(n_toks) AS DOUBLE) / count(*) AS mean_doc_tokens "
+            "FROM t GROUP BY lang"
         ),
     }

@@ -171,3 +171,40 @@ def test_window_composite_overflow_fallback():
     empty = g.iloc[:0]
     assert _asof_merge_frame(empty, use_composite=False).empty
     assert _window_funcs_frame(empty, use_composite=False).empty
+
+
+def test_doc_reports_equals_quartet(ray_session):
+    import __ray_entry__ as m
+    from crawtext_ray.stages import relational as R
+
+    df = m.queries()["doc_reports"](SF)
+    lang = df[df["kind"] == "lang"].set_index("key")["n_docs"].to_dict()
+    assert lang == R.report_lang_docs(SF).to_pandas().set_index(
+        "lang")["n_docs"].to_dict()
+    src = df[df["kind"] == "source"].set_index("key")["n_docs"].to_dict()
+    assert src == R.report_source_docs(SF).to_pandas().set_index(
+        "source")["n_docs"].to_dict()
+    top = df[df["kind"] == "top_source"]
+    want_top = R.top_sources(SF).to_pandas()
+    assert list(top["key"]) == list(want_top["source"])
+    assert list(top["n_docs"]) == list(want_top["n_docs"])
+    dl = sorted(df[df["kind"] == "distinct_lang"]["key"])
+    assert dl == sorted(R.distinct_langs(SF).to_pandas()["lang"])
+
+
+def test_event_time_rollups_equals_pair(ray_session):
+    import __ray_entry__ as m
+    from crawtext_ray.stages import relational as R
+
+    df = m.queries()["event_time_rollups"](SF)
+    day = df[df["kind"] == "day"].set_index("day")["n_events"].to_dict()
+    assert day == R.date_buckets_events(SF).to_pandas().set_index(
+        "day")["n_events"].to_dict()
+    td = df[df["kind"] == "type_day"]
+    want = R.events_by_type_day(SF).to_pandas()
+    a = td[["key", "day", "n_events"]].sort_values(
+        ["key", "day"]).reset_index(drop=True)
+    b = want.rename(columns={"event_type": "key"})[
+        ["key", "day", "n_events"]].sort_values(
+        ["key", "day"]).reset_index(drop=True)
+    assert a.equals(b)
