@@ -345,7 +345,7 @@ def curate(
 
         gate = decontaminate(gate, benchmark, n=benchmark_ngram,
                              text_col="extracted_text")
-    ckpt_dir = None
+    ckpt_dir = para_ckpt_dir = None
     if out_dir:
         import shutil
 
@@ -387,6 +387,23 @@ def curate(
 
         gated = gated.map_batches(refresh, batch_format="pyarrow",
                                   zero_copy_batch=True)
+        # re-checkpoint the rewritten corpus: the rebuild probes + the
+        # stat refresh hash every paragraph, and the downstream dedup
+        # stages scan `gated` twice — against a second parquet
+        # checkpoint those scans are plain reads (object-store
+        # materialize for the interactive no-out_dir path)
+        if out_dir:
+            import shutil as _sh
+
+            import ray.data as rd
+
+            para_ckpt_dir = out_dir.rstrip("/") + "_paras.ckpt"
+            _sh.rmtree(para_ckpt_dir, ignore_errors=True)
+            gated.write_parquet(para_ckpt_dir)
+            gated = rd.read_parquet(para_ckpt_dir,
+                                    file_extensions=["parquet"])
+        else:
+            gated = gated.materialize()
     if max_nll is not None:
         from ..stages.textops import lm_gate
 
@@ -428,10 +445,12 @@ def curate(
             batch_format="pyarrow", zero_copy_batch=True,
         )
         write_partitioned(keyed, out_dir).take_all()
-        # the gated checkpoint served its purpose once the audited sink
-        # is complete; the returned Dataset re-reads the SINK (stable),
-        # so the checkpoint can go (at 100 TB you might keep it for
-        # debugging — it is a plain parquet dir next to the output)
+        # the gated checkpoints served their purpose once the audited
+        # sink is complete; the returned Dataset re-reads the SINK
+        # (stable), so they can go (at 100 TB you might keep them for
+        # debugging — plain parquet dirs next to the output)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
+        if para_ckpt_dir:
+            shutil.rmtree(para_ckpt_dir, ignore_errors=True)
         return rd.read_parquet(out_dir, file_extensions=["parquet"])
     return curated
