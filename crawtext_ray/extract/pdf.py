@@ -142,25 +142,34 @@ def extract_pdf_text(data: bytes) -> dict:
     texts: list[str] = []
 
     def try_stream(head: bytes, raw: bytes) -> bool:
-        """True iff the payload decoded cleanly (whether or not it held
-        text) — a False from the /Length pass means the slice was bogus
-        (lying /Length) and the delimiter scan should still try it."""
+        """True iff the slice is VALIDATED consumed: either Flate
+        decompression succeeded (the /Length was provably right) or the
+        payload actually yielded text. An uncompressed payload that
+        produced nothing is NOT marked consumed — a lying direct /Length
+        on a raw stream is undetectable here, so the delimiter scan must
+        still get a chance at the full-span slice (the recovery path for
+        single-stream malformed PDFs)."""
+        validated = False
         if b"/FlateDecode" in head:
             try:
                 raw = zlib.decompress(raw)
             except zlib.error:
                 return False
+            validated = True
         elif b"/Filter" in head:
             return False  # unsupported filter
         if b"BT" not in raw:
-            return True
+            return validated
         try:
             t = _content_text(raw)
         except Exception:
-            return True  # malformed content stream — skip, "never raises"
+            # malformed content stream — no text, but a Flate-validated
+            # slice is still consumed ("never raises")
+            return validated
         if t:
             texts.append(t)
-        return True
+            return True
+        return validated
 
     # primary pass: /Length-bounded streams (robust to delimiter bytes
     # inside compressed payloads). Indirect lengths (`/Length 5 0 R`)

@@ -387,6 +387,18 @@ def curate(
 
         gated = gated.map_batches(refresh, batch_format="pyarrow",
                                   zero_copy_batch=True)
+        # re-apply the length gate: paragraph dedup can hollow a document
+        # out entirely (every paragraph a later duplicate), and all such
+        # empties share one content_sha256 — without this re-filter,
+        # drop_exact_dups would keep exactly one empty-text row in the
+        # final corpus, violating the --min-words contract. Runs before
+        # the re-checkpoint so the checkpoint is already clean.
+        if min_words > 0:
+            _mw = int(min_words)
+            gated = gated.map_batches(
+                lambda t: t.filter(
+                    pa.compute.greater_equal(t["n_words"], pa.scalar(_mw))),
+                batch_format="pyarrow", zero_copy_batch=True)
         # re-checkpoint the rewritten corpus: the rebuild probes + the
         # stat refresh hash every paragraph, and the downstream dedup
         # stages scan `gated` twice — against a second parquet

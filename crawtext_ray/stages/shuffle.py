@@ -20,6 +20,14 @@ Hash modes mirror the sampling ops: ``splitmix64`` (vectorized, integer
 keys, the production mode) and ``md5`` (any key type, bit-reproducible
 in SQL — the oracle/differential mode); both kernels are shared with
 the samplers via stages.partitioning.
+
+Output location: ``out_dir`` may be a plain local path OR a
+``scheme://`` URI resolvable by ``pyarrow.fs.FileSystem.from_uri``
+(``file://``, ``s3://``, ...). The shard writers run INSIDE Ray workers,
+so on a multi-node cluster a plain local path silently requires a
+shared filesystem (NFS / fuse-mounted object storage) for the driver to
+see the parts — pass an object-store URI there instead. Single node:
+plain paths are the default and fully correct.
 """
 
 from __future__ import annotations
@@ -92,6 +100,17 @@ def shuffle_shards(ds, n_shards: int = 64, key: str = "doc_id",
     return _grouped_shuffle(ds, n_shards, key, seed, method, lambda g: g)
 
 
+def _resolve_fs(out_dir: str):
+    """(filesystem, path) for a plain local path or a ``scheme://`` URI
+    (``pyarrow.fs.FileSystem.from_uri``). See the module docstring for
+    the multi-node shared-filesystem caveat on plain paths."""
+    from pyarrow import fs as pafs
+
+    if "://" in out_dir:
+        return pafs.FileSystem.from_uri(out_dir)
+    return pafs.LocalFileSystem(), out_dir
+
+
 def write_training_shards(ds, out_dir: str, n_shards: int = 64,
                           key: str = "doc_id", seed: int = 0,
                           method: str = "splitmix64") -> list[dict]:
@@ -100,27 +119,33 @@ def write_training_shards(ds, out_dir: str, n_shards: int = 64,
     single shuffle groupby) plus a driver-side manifest
     [{shard, rows, path}] covering ALL ``n_shards`` entries — rowless
     shards get an empty file with the full schema, so a rank-per-file
-    loader never hits a hole. ``out_dir`` is cleared of stale part files
-    first (a prior export with a different n_shards must not leak extra
-    parts into a glob). Atomic per shard (tmp+rename) and idempotent:
-    re-running rewrites identical bytes."""
-    import glob
-    import os
-
+    loader never hits a hole. ``out_dir`` (path or URI, see module
+    docstring) is cleared of stale part files first (a prior export with
+    a different n_shards must not leak extra parts into a glob). Atomic
+    per shard (tmp+rename) and idempotent: re-running rewrites identical
+    bytes."""
     import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
 
-    os.makedirs(out_dir, exist_ok=True)
-    for stale in glob.glob(os.path.join(out_dir, "part-*.parquet")):
-        os.remove(stale)
+    fs, base = _resolve_fs(out_dir)
+    fs.create_dir(base, recursive=True)
+    sel = pafs.FileSelector(base, allow_not_found=True)
+    for info in fs.get_file_info(sel):
+        if (info.type == pafs.FileType.File
+                and info.base_name.startswith("part-")
+                and (info.base_name.endswith(".parquet")
+                     or info.base_name.endswith(".parquet.tmp"))):
+            fs.delete_file(info.path)
 
     def write_shard(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return pa.table({"shard": pa.array([], pa.int64()),
                              "rows": pa.array([], pa.int64())})
+        wfs, wbase = _resolve_fs(out_dir)  # runs inside the Ray worker
         shard = int(g["shard"][0].as_py())
-        path = os.path.join(out_dir, f"part-{shard:05d}.parquet")
-        pq.write_table(g, path + ".tmp")
-        os.replace(path + ".tmp", path)
+        path = f"{wbase}/part-{shard:05d}.parquet"
+        pq.write_table(g, path + ".tmp", filesystem=wfs)
+        wfs.move(path + ".tmp", path)
         return pa.table({"shard": pa.array([shard], pa.int64()),
                          "rows": pa.array([g.num_rows], pa.int64())})
 
@@ -136,20 +161,26 @@ def write_training_shards(ds, out_dir: str, n_shards: int = 64,
         written = sorted(set(range(n_shards)) - set(missing))
         if written:
             schema = pq.read_schema(
-                os.path.join(out_dir, f"part-{written[0]:05d}.parquet")
+                f"{base}/part-{written[0]:05d}.parquet", filesystem=fs
             )
-        else:  # fully empty input: key + shard + pos is all we know
-            schema = pa.schema([(key, pa.string()), ("shard", pa.int64()),
-                                ("pos", pa.int64())])
+        else:
+            # fully empty input: input columns + the appended shard/pos,
+            # with the REAL key dtype from the dataset schema (hardcoding
+            # pa.string() broke integer-keyed loaders that glob shards
+            # with a unified schema)
+            in_schema = ds.schema()
+            schema = pa.schema(
+                list(zip(in_schema.names, in_schema.types))
+                + [("shard", pa.int64()), ("pos", pa.int64())]
+            )
         empty = pa.table({f.name: pa.array([], f.type) for f in schema})
         for s in missing:
-            path = os.path.join(out_dir, f"part-{s:05d}.parquet")
-            pq.write_table(empty, path + ".tmp")
-            os.replace(path + ".tmp", path)
+            path = f"{base}/part-{s:05d}.parquet"
+            pq.write_table(empty, path + ".tmp", filesystem=fs)
+            fs.move(path + ".tmp", path)
             recs[s] = 0
     return [
-        {"shard": s, "rows": recs[s],
-         "path": os.path.join(out_dir, f"part-{s:05d}.parquet")}
+        {"shard": s, "rows": recs[s], "path": f"{base}/part-{s:05d}.parquet"}
         for s in range(n_shards)
     ]
 

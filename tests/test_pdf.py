@@ -117,3 +117,30 @@ def test_mixed_direct_and_indirect_length_streams():
     assert "Indirect stream text" in res["text"]
     # and no duplication of the direct segment
     assert res["text"].count("Direct stream text") == 1
+
+
+def test_lying_length_uncompressed_stream_recovered():
+    # uncompressed stream whose direct /Length is a lie (too short): the
+    # truncated slice yields no text, so it must NOT be marked consumed —
+    # the delimiter scan recovers the full span (ADVICE r4 regression)
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 5 >>\nstream\n"
+        b"BT (Lying length text) Tj ET\nendstream\nendobj\n"
+    )
+    res = extract_pdf_text(raw)
+    assert "Lying length text" in res["text"]
+    assert res["text"].count("Lying length text") == 1
+
+
+def test_correct_length_uncompressed_stream_not_duplicated():
+    # with a TRUTHFUL /Length on an uncompressed stream the primary pass
+    # yields the text and marks the slice consumed — the delimiter scan
+    # must not extract it a second time
+    payload = b"BT (True length text) Tj ET"
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " +
+        str(len(payload)).encode() + b" >>\nstream\n" +
+        payload + b"\nendstream\nendobj\n"
+    )
+    res = extract_pdf_text(raw)
+    assert res["text"].count("True length text") == 1

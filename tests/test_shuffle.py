@@ -204,3 +204,51 @@ def test_pack_sequences_vs_duckdb(ray_session):
     # layout sanity: offsets stay inside the window; first doc starts at 0
     assert (a["pack_offset"] < 4096).all()
     assert (a[a["pos"] == 0]["pack_offset"] == 0).all()
+
+
+def test_write_training_shards_empty_input_key_dtype(ray_session, tmp_path):
+    """Fully-empty input: the empty part files derive their schema from
+    the dataset (ADVICE r4: the fallback hardcoded a string key, giving
+    integer-keyed loaders a wrong-typed schema)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawtext_ray.stages.shuffle import write_training_shards
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    m = write_training_shards(ds, str(tmp_path / "e"), n_shards=4)
+    assert sum(x["rows"] for x in m) == 0
+    t = pq.read_table(m[0]["path"])
+    assert t.num_rows == 0
+    assert t.schema.field("doc_id").type == pa.int64()
+    assert t.schema.field("text").type == pa.string()
+    assert t.schema.field("shard").type == pa.int64()
+    assert t.schema.field("pos").type == pa.int64()
+
+
+def test_write_training_shards_file_uri(ray_session, tmp_path):
+    """out_dir as a file:// URI routes through pyarrow.fs (the
+    object-storage slot-in for multi-node clusters, where worker-local
+    plain paths would scatter shards); bytes identical to a plain-path
+    export with the same seed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawtext_ray.stages.shuffle import write_training_shards
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [f"doc {i}" for i in range(5)],
+    }))
+    m1 = write_training_shards(ds, "file://" + str(tmp_path / "u"),
+                               n_shards=4, seed=3)
+    m2 = write_training_shards(ds, str(tmp_path / "p"), n_shards=4, seed=3)
+    assert sum(x["rows"] for x in m1) == 5
+    for a, b in zip(m1, m2):
+        assert a["shard"] == b["shard"] and a["rows"] == b["rows"]
+        assert pq.read_table(a["path"]).equals(pq.read_table(b["path"]))

@@ -577,3 +577,55 @@ def test_dedup_paragraphs_string_ids(ray_session):
     assert n_footer == 1
     # every body paragraph is unique and survives
     assert all("body paragraph number" in (t or "") for t in out["text"])
+
+
+def test_curate_paragraph_dedup_drops_hollowed_docs(ray_session, tmp_path):
+    """A document whose EVERY paragraph is a duplicate comes back empty
+    from paragraph dedup; the re-applied length gate must drop it before
+    exact dedup (ADVICE r4: all empties share one content_sha256, so one
+    empty-text row used to survive into the curated corpus)."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawtext_ray.pipelines.training_data import curate
+
+    shared = ("This is a shared legal footer paragraph that the content "
+              "scorer wants to keep around for every page in the corpus "
+              "because it is full of the usual function words.")
+    unique = ("Here is some genuinely unique article body text that only "
+              "this one page carries and that should survive the whole "
+              "curation chain without any trouble at all.")
+    ts = datetime.datetime(2024, 1, 1)
+
+    def page(body: str) -> bytes:
+        paras = "".join(f"<p>{p}</p>" for p in body.split("\n\n"))
+        return f"<html><body>{paras}</body></html>".encode()
+
+    # one rich doc (shared + unique paragraphs) and two docs that are
+    # ONLY the shared paragraph: whichever doc wins the shared paragraph,
+    # at least one footer-only doc hollows out to empty text
+    t = pa.table({
+        "url": pa.array([f"http://h.example/{i}" for i in range(3)]),
+        "warc_ts": pa.array([ts] * 3, pa.timestamp("us")),
+        "html": pa.array([page(shared + "\n\n" + unique),
+                          page(shared), page(shared)], pa.binary()),
+        "text": pa.array([""] * 3, pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+    })
+    pages = str(tmp_path / "pages")
+    os.makedirs(pages)
+    pq.write_table(t, f"{pages}/part-0.parquet")
+
+    out = curate(pages, out_dir=str(tmp_path / "o"), num_partitions=2,
+                 min_words=10, dedup_paras=True,
+                 para_min_chars=30).to_pandas()
+    # the min-words contract holds AFTER paragraph dedup, not just before
+    assert (out["n_words"] >= 10).all()
+    assert all((x or "").strip() for x in out["extracted_text"])
+    # the unique body text survives
+    assert any(unique in (x or "") for x in out["extracted_text"])
+    # fewer docs than inputs: at least one hollowed doc was dropped
+    assert len(out) < 3
