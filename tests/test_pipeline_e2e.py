@@ -316,3 +316,35 @@ def test_hash_shuffle_sized_to_session(ray_session):
     finally:
         (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators,
          ctx.default_hash_shuffle_parallelism) = prev
+
+
+def test_first_by_sharded_equals_pandas_reference(ray_session):
+    """The coarse-shard vectorized first_by (one arrow sort per shard)
+    returns exactly the per-group pandas reference's rows, for integer
+    AND string keys, with a unique tiebreak pinning the pick."""
+    import numpy as np
+    import ray.data as rd
+
+    from crawtext_ray.stages.dedup import first_by, first_by_pandas
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    rows = {
+        "user_id": rng.integers(0, 900, n),
+        "ts": rng.integers(0, 50, n),          # many (key, ts) ties
+        "event_id": rng.permutation(n),        # unique tiebreak
+        "payload": rng.integers(0, 1000, n),
+    }
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    df["skey"] = "u" + df["user_id"].astype(str)
+
+    for key in ["user_id", "skey"]:
+        ds = rd.from_pandas(df)
+        got = (first_by(ds, key, "ts", "event_id", num_shards=16)
+               .to_pandas().sort_values(key).reset_index(drop=True))
+        exp = (first_by_pandas(rd.from_pandas(df), key, "ts", "event_id")
+               .to_pandas().sort_values(key).reset_index(drop=True))
+        assert got[["user_id", "ts", "event_id", "payload"]].equals(
+            exp[["user_id", "ts", "event_id", "payload"]]), key
