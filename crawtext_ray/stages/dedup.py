@@ -1286,6 +1286,19 @@ def _para_hashes(text: str, min_chars: int) -> tuple[list[str], np.ndarray]:
     return paras, h
 
 
+def _pair_mix(ph: np.ndarray, packed: np.ndarray) -> np.ndarray:
+    """One well-mixed uint64 key per (paragraph-hash, packed-position)
+    pair — the SAME combiner on the winner-filter build and probe sides,
+    so Bloom membership of the pair is exact up to the filter's fp rate.
+    int64 inputs are viewed as uint64 (two's complement) before mixing."""
+    from .partitioning import splitmix64
+
+    a = np.ascontiguousarray(ph, dtype=np.int64).view(np.uint64)
+    b = np.ascontiguousarray(packed, dtype=np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        return splitmix64(splitmix64(a) + b)
+
+
 def _packing_ids(ids) -> "np.ndarray":
     """int64 packing ids for the paragraph-dedup winner order: integer
     ids pass through (range-checked); string ids (e.g. article urls)
@@ -1373,25 +1386,24 @@ def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
     ).materialize()
     n_dup = dup_winners.count()
     if n_dup > broadcast_cap:
-        # Bloom mode: two distributed filters instead of the exact map.
-        # Keyed on the string forms so the existing md5-based Bloom
-        # machinery applies unchanged.
-        dup_keys = dup_winners.map_batches(
-            lambda t: pa.table({"k": pa.array(
-                [str(v) for v in t["ph"].to_pylist()], pa.string())}),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
+        # Bloom mode: two distributed filters instead of the exact map,
+        # keyed on the RAW int64s (splitmix64 pair hashing) — the filter
+        # build is O(duplicated paragraphs), exactly the regime the cap
+        # targets, so no per-row stringification anywhere: the dup
+        # filter ingests the ph column as-is and the winner filter a
+        # vectorized (ph, winner) pair mix.
         win_keys = dup_winners.map_batches(
-            lambda t: pa.table({"k": pa.array(
-                [f"{p}:{w}" for p, w in zip(t["ph"].to_pylist(),
-                                            t["w"].to_pylist())],
-                pa.string())}),
+            lambda t: pa.table({"k": pa.array(_pair_mix(
+                t["ph"].to_numpy(zero_copy_only=False),
+                t["w"].to_numpy(zero_copy_only=False),
+            ).view(np.int64))}),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        dup_ref = ray.put(build_bloom(dup_keys, "k", capacity=n_dup,
-                                      fp_rate=fp_rate))
+        dup_ref = ray.put(build_bloom(dup_winners.select_columns(["ph"]),
+                                      "ph", capacity=n_dup,
+                                      fp_rate=fp_rate, int_keys=True))
         win_ref = ray.put(build_bloom(win_keys, "k", capacity=n_dup,
-                                      fp_rate=fp_rate))
+                                      fp_rate=fp_rate, int_keys=True))
         win_map_ref = None
     else:
         winners: dict[int, int] = {}
@@ -1416,20 +1428,18 @@ def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
                 ]
             # bloom mode: eligible paras probe the dup filter; hits keep
             # only if (hash, own-position) is (probably) the winner pair
+            # — all probes over raw int64s, no stringification
             elig = np.flatnonzero(h)
-            mask = [True] * len(h)
+            mask = np.ones(len(h), dtype=bool)
             if not len(elig):
                 return mask
-            in_dup = dup_bloom.contains_batch(
-                [str(int(h[i])) for i in elig]
-            )
+            in_dup = dup_bloom.contains_batch_ints(h[elig])
             hits = elig[in_dup]
             if len(hits):
-                is_win = win_bloom.contains_batch(
-                    [f"{int(h[i])}:{(did << 20) + int(i)}" for i in hits]
+                own = (np.int64(did) << np.int64(20)) + hits.astype(np.int64)
+                mask[hits] = win_bloom.contains_batch_ints(
+                    _pair_mix(h[hits], own)
                 )
-                for i, ok in zip(hits, is_win):
-                    mask[int(i)] = bool(ok)
             return mask
 
         def rebuild(batch: pa.Table) -> pa.Table:

@@ -57,6 +57,22 @@ class BloomFilter:
         d = np.frombuffer(buf, dtype=">u8").reshape(-1, 2)
         return d[:, 0].astype(np.uint64), d[:, 1].astype(np.uint64)
 
+    @staticmethod
+    def _h2_batch_ints(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(h1, h2) uint64 arrays for int64/uint64 keys: two independent
+        splitmix64 streams (distinct seed offsets) — zero per-key Python,
+        the vectorized counterpart of the md5 pair for string keys.
+        int64 inputs are reinterpreted (two's-complement view), so
+        negative hash values round-trip deterministically."""
+        from ..stages.partitioning import splitmix64
+
+        k = np.ascontiguousarray(keys)
+        k = k.view(np.uint64) if k.dtype == np.int64 else k.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h1 = splitmix64(k)
+            h2 = splitmix64(k + np.uint64(0xD6E8FEB86659FD93))
+        return h1, h2
+
     def _positions(self, key: str) -> np.ndarray:
         h1, h2 = self._h2(key)
         h2 |= 1  # odd stride → full cycle modulo the power-of-two bit count
@@ -64,16 +80,19 @@ class BloomFilter:
         with np.errstate(over="ignore"):
             return (np.uint64(h1) + i * np.uint64(h2)) % np.uint64(self.n_bits)
 
-    def _positions_batch(self, keys) -> np.ndarray:
-        """(n_keys, n_hashes) positions — identical values to per-key
-        ``_positions`` (same uint64 wraparound arithmetic), one pass."""
-        h1, h2 = self._h2_batch(keys)
+    def _positions_from(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """(n_keys, n_hashes) double-hashed positions from a hash pair."""
         h2 = h2 | np.uint64(1)
         i = np.arange(self.n_hashes, dtype=np.uint64)
         with np.errstate(over="ignore"):
             return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(
                 self.n_bits
             )
+
+    def _positions_batch(self, keys) -> np.ndarray:
+        """(n_keys, n_hashes) positions — identical values to per-key
+        ``_positions`` (same uint64 wraparound arithmetic), one pass."""
+        return self._positions_from(*self._h2_batch(keys))
 
     def add(self, key: str) -> None:
         pos = self._positions(key)
@@ -95,6 +114,29 @@ class BloomFilter:
             self.bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63))
         )
 
+    def update_ints(self, keys: np.ndarray) -> None:
+        """Batched add over integer keys (splitmix64 pair hashing) — no
+        per-key stringification anywhere; the build-side kernel for
+        filters over 64-bit content hashes."""
+        k = np.asarray(keys)
+        if k.size == 0:
+            return
+        pos = self._positions_from(*self._h2_batch_ints(k)).ravel()
+        np.bitwise_or.at(
+            self.bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63))
+        )
+
+    def contains_batch_ints(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership for integer keys (same hash pair as
+        ``update_ints``)."""
+        k = np.asarray(keys)
+        if k.size == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions_from(*self._h2_batch_ints(k))
+        want = np.uint64(1) << (pos & np.uint64(63))
+        got = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+        return ((got & want) == want).all(axis=1)
+
     def __contains__(self, key: str) -> bool:
         pos = self._positions(key)
         want = np.uint64(1) << (pos & np.uint64(63))
@@ -112,11 +154,14 @@ class BloomFilter:
         return ((got & want) == want).all(axis=1)
 
 
-def build_bloom(ds, key: str, capacity: int, fp_rate: float = 0.001) -> BloomFilter:
+def build_bloom(ds, key: str, capacity: int, fp_rate: float = 0.001,
+                int_keys: bool = False) -> BloomFilter:
     """Distributed Bloom build: each block folds its keys into a partial
     filter (map side), the driver ORs the fixed-size bit arrays. Driver
     memory is O(filter size), never O(keys) — the scale-safe replacement
-    for ``take_all()``-then-``add()`` loops."""
+    for ``take_all()``-then-``add()`` loops. ``int_keys=True`` hashes
+    the raw int64 column with the splitmix64 pair (no per-key
+    stringification — probe with ``contains_batch_ints``)."""
     import pyarrow as pa
 
     proto = BloomFilter(capacity, fp_rate)
@@ -124,7 +169,10 @@ def build_bloom(ds, key: str, capacity: int, fp_rate: float = 0.001) -> BloomFil
 
     def block_bits(batch: pa.Table) -> pa.Table:
         bf = BloomFilter.with_params(n_bits, n_hashes)
-        bf.update(batch[key].to_pylist())
+        if int_keys:
+            bf.update_ints(batch[key].to_numpy(zero_copy_only=False))
+        else:
+            bf.update(batch[key].to_pylist())
         return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.large_binary())})
 
     parts = ds.select_columns([key]).map_batches(

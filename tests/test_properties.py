@@ -146,3 +146,30 @@ def test_simhash_batch_invariant(texts):
     whole = sh._batch_simhash(texts)
     for t, got in zip(texts, whole):
         assert int(got) == sh.simhash64(t)
+
+
+def test_bloom_int_key_paths():
+    """update_ints/contains_batch_ints: every added int64 key (including
+    negative hash values) is found, absent keys stay out at ~fp_rate,
+    and the int path agrees with itself across a partial-filter OR (the
+    distributed build contract)."""
+    import numpy as np
+
+    from crawtext_ray.state.bloom import BloomFilter
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(-(2**62), 2**62, 5000, dtype=np.int64)
+    bf = BloomFilter(capacity=5000, fp_rate=1e-4)
+    bf.update_ints(keys)
+    assert bf.contains_batch_ints(keys).all()
+    absent = rng.integers(-(2**62), 2**62, 20000, dtype=np.int64)
+    absent = absent[~np.isin(absent, keys)]
+    fp = bf.contains_batch_ints(absent).mean()
+    assert fp < 0.01
+    # distributed build: two partials ORed == one filter over the union
+    a = BloomFilter.with_params(bf.n_bits, bf.n_hashes)
+    b = BloomFilter.with_params(bf.n_bits, bf.n_hashes)
+    a.update_ints(keys[:2500])
+    b.update_ints(keys[2500:])
+    a.bits |= b.bits
+    assert np.array_equal(a.bits, bf.bits)
