@@ -64,10 +64,54 @@ def entry() -> Any:
 
 
 def _q_extract_articles(sf_dir: str):
+    """Flagship extraction. Still ``no_oracle`` — its truth IS the
+    frozen golden corpus (no SQL can re-derive the extractor) — but
+    SELF-CHECKING since r5: the pipeline runs TWICE and the query
+    asserts per-url byte-identity of the extracted text across runs
+    (sha256 per row, compared pairwise, plus an order-independent
+    corpus XOR — the determinism witness). The emitted ``text_sha``
+    column also makes the driver's value-hash pin the extracted BYTES
+    across rounds, not just the metadata columns. Scale shape: hashes
+    are computed inside map_batches, so full text never reaches the
+    driver."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
     from crawtext_ray.pipelines.flagship import build_articles
 
-    arts = build_articles(_pages_dir(sf_dir), num_partitions=8, concurrency="tasks")
-    return arts.select_columns(["url", "lang", "title", "status", "n_words"])
+    def with_sha(t: pa.Table) -> pa.Table:
+        shas = [
+            hashlib.sha256(
+                (u or "").encode() + b"\0" + (x or "").encode()
+            ).hexdigest()[:16]
+            for u, x in zip(t["url"].to_pylist(),
+                            t["extracted_text"].to_pylist())
+        ]
+        return pa.table({
+            "url": t["url"], "lang": t["lang"], "title": t["title"],
+            "status": t["status"], "n_words": t["n_words"],
+            "text_sha": pa.array(shas, pa.string()),
+        })
+
+    def run_once():
+        arts = build_articles(_pages_dir(sf_dir), num_partitions=8,
+                              concurrency="tasks")
+        return arts.map_batches(with_sha, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+
+    a, b = run_once(), run_once()
+
+    def corpus_xor(df):
+        return np.bitwise_xor.reduce(np.array(
+            [int(s, 16) for s in df["text_sha"]], dtype=np.uint64
+        )) if len(df) else np.uint64(0)
+
+    assert corpus_xor(a) == corpus_xor(b), "corpus XOR differs across reruns"
+    pa_, pb_ = (d.set_index("url")["text_sha"].sort_index() for d in (a, b))
+    assert pa_.equals(pb_), "per-url extracted bytes differ across reruns"
+    return a
 
 
 def _q_extract_reports(sf_dir: str):
@@ -318,10 +362,26 @@ def _q_embedding_dedup(sf_dir: str):
 
 
 def _q_ann_topk(sf_dir: str):
-    """Approximate-NN top-k, both scale paths in one query (rows-only:
-    approximate by construction; recall-vs-exact is pytest-bound):
-    LSH-bucketed and IVF (k-means quantizer, streamed 512-row training
-    sample), tagged by method."""
+    """Approximate-NN top-k, both scale paths in one query, tagged by
+    method: LSH-bucketed and IVF (k-means quantizer, streamed 512-row
+    training sample).
+
+    Still ``no_oracle`` (approximate by construction — no SQL truth),
+    but BOUNDED IN-QUERY against the exact brute-force top-k (the
+    ``minhash_dups_docs`` brute-assertion house pattern): for every
+    query vector, (a) the query retrieves ITSELF under both methods —
+    an exact property (an identical vector shares every LSH bucket; IVF
+    probes its own cluster) — and (b) recall vs the exact top-10 meets
+    a floor under the measured deterministic values (everything is
+    seeded, so recall per sf_dir is a constant, not a distribution).
+    Floors are honest to the methods on THIS corpus: single-probe
+    8-plane sign-LSH over isotropic random embeddings guarantees only
+    self-retrieval (measured 0.1 at every sf — neighbors at cosine ~0.3
+    rarely agree on all 8 signs; the planted-clone regime where LSH
+    recall is total is pinned by ``embedding_dedup``), while IVF at
+    nprobe=4/16 measures 0.3–1.0 across sf0.001/0.01/0.1. The brute
+    pass is O(n·q) with q=3 — the per-batch matmul baseline, cheap at
+    any driver scale, so the bound runs unconditionally."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -329,6 +389,7 @@ def _q_ann_topk(sf_dir: str):
 
     from crawtext_ray.stages.relational import read_query_vectors
     from crawtext_ray.stages.similarity import (
+        brute_force_topk,
         ivf_topk,
         lsh_bucket_topk,
         train_ivf_centroids,
@@ -354,9 +415,22 @@ def _q_ann_topk(sf_dir: str):
 
         return fn
 
-    return lsh.map_batches(tag("lsh"), batch_format="pyarrow").union(
+    got = lsh.map_batches(tag("lsh"), batch_format="pyarrow").union(
         ivf.map_batches(tag("ivf"), batch_format="pyarrow")
-    )
+    ).to_pandas()
+
+    exact = brute_force_topk(emb, queries, k=10).to_pandas()
+    for qid in queries["query_id"]:
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        for method, floor in (("lsh", 0.1), ("ivf", 0.3)):
+            a = set(got[(got["query_id"] == qid)
+                        & (got["method"] == method)]["vec_id"])
+            assert qid in a, f"{method}: query {qid} failed self-retrieval"
+            recall = len(a & e) / len(e)
+            assert recall >= floor, (
+                f"{method}: recall {recall:.2f} < {floor} for query {qid}"
+            )
+    return got
 
 
 def _q_pdf_extract(sf_dir: str):
@@ -390,18 +464,32 @@ def _q_pdf_extract(sf_dir: str):
 
 
 def _q_approx_distinct_users(sf_dir: str):
-    """HyperLogLog distinct-user estimate (rows-only: deterministic but
-    approximate, no SQL analog; accuracy + determinism are pytest-bound).
-    Distributed build: per-block register partials, max-merged driver-side
-    (O(4096) bytes, never O(keys))."""
+    """HyperLogLog distinct-user estimate. Still ``no_oracle`` (the
+    estimate has no SQL analog), but BOUNDED IN-QUERY: the exact
+    COUNT(DISTINCT user_id) — the same keyed-count ``global_event_stats``
+    already oracle-proves — is recomputed here and the estimate must sit
+    within the sketch's documented error (3σ of the 1.04/√m standard
+    error at p=12, i.e. ±4.9%, floor of 2 for tiny corpora). Distributed
+    build: per-block register partials, max-merged driver-side (O(4096)
+    bytes, never O(keys))."""
     import pandas as pd
     import ray.data as rd
+    from ray.data.aggregate import Count
 
     from crawtext_ray.state.hll import build_hll
 
     events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     h = build_hll(events, "user_id", p=12)
-    return pd.DataFrame({"approx_distinct": [float(h.estimate())]})
+    est = float(h.estimate())
+    exact = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .groupby("user_id").aggregate(Count(alias_name="n")).count()
+    )
+    tol = max(3 * (1.04 / (2 ** 12) ** 0.5) * exact, 2.0)
+    assert abs(est - exact) <= tol, (
+        f"HLL estimate {est} vs exact {exact}: outside ±{tol:.1f}"
+    )
+    return pd.DataFrame({"approx_distinct": [est]})
 
 
 def _q_doc_reports(sf_dir: str):
