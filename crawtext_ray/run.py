@@ -68,7 +68,27 @@ def main(argv: list[str] | None = None) -> int:
                          "<out>_shards (stages/shuffle.py: hash decides "
                          "shard AND in-shard order, so reruns are "
                          "byte-identical and resume per shard)")
+    ap.add_argument("--bpe-vocab", type=int, default=None, metavar="V",
+                    help="with --export-shards: train a from-scratch "
+                         "byte-level BPE tokenizer (V total tokens, "
+                         ">= 256) on the exported corpus and write REAL "
+                         "subword counts (n_bpe_tokens) plus GPT-style "
+                         "pack assignments (pack_id/pack_offset over "
+                         "seq-len windows) into the shards")
+    ap.add_argument("--seq-len", type=int, default=2048,
+                    help="pack window length for --bpe-vocab (tokens)")
     args = ap.parse_args(argv)
+
+    if args.bpe_vocab is not None:
+        # fail fast pre-Ray, like the --query / --lang-rates checks
+        if args.bpe_vocab < 256:
+            print("error: --bpe-vocab must be >= 256 (byte-level vocab)",
+                  file=sys.stderr)
+            return 2
+        if not args.export_shards:
+            print("error: --bpe-vocab requires --export-shards",
+                  file=sys.stderr)
+            return 2
 
     lang_rates = None
     if args.lang_rates:
@@ -191,15 +211,33 @@ def main(argv: list[str] | None = None) -> int:
             from crawtext_ray.stages.shuffle import write_training_shards
 
             articles = rd.read_parquet(args.out, file_extensions=["parquet"])
+            pack_kwargs = {}
+            if args.bpe_vocab:
+                from crawtext_ray.stages.bpe import (
+                    add_bpe_token_counts,
+                    train_bpe,
+                )
+
+                tok = train_bpe(articles, text_col="extracted_text",
+                                vocab_size=args.bpe_vocab)
+                articles = add_bpe_token_counts(
+                    articles, tok, text_col="extracted_text")
+                pack_kwargs = {"pack_seq_len": args.seq_len,
+                               "n_tokens_col": "n_bpe_tokens"}
             manifest = write_training_shards(
                 articles, args.out.rstrip("/") + "_shards",
                 n_shards=args.export_shards, key="url", method="md5",
+                **pack_kwargs,
             )
-            print(json.dumps({
+            summary = {
                 "shards_dir": args.out.rstrip("/") + "_shards",
                 "n_shards": len(manifest),
                 "rows": sum(m["rows"] for m in manifest),
-            }))
+            }
+            if args.bpe_vocab:
+                summary["bpe_vocab"] = args.bpe_vocab
+                summary["seq_len"] = args.seq_len
+            print(json.dumps(summary))
 
         if args.report:
             import ray.data as rd

@@ -111,9 +111,27 @@ def _resolve_fs(out_dir: str):
     return pafs.LocalFileSystem(), out_dir
 
 
+def _pack_table(g: pa.Table, seq_len: int, n_tokens_col: str) -> pa.Table:
+    """Per-shard exclusive token cumsum → (pack_id, pack_offset); the
+    shared kernel of pack_sequences and the packed shard writer."""
+    if g.num_rows == 0:
+        return g.append_column(
+            "pack_id", pa.array([], pa.int64())
+        ).append_column("pack_offset", pa.array([], pa.int64()))
+    toks = g[n_tokens_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    prev = np.concatenate(([0], np.cumsum(toks)[:-1]))
+    return g.append_column(
+        "pack_id", pa.array(prev // seq_len, pa.int64())
+    ).append_column(
+        "pack_offset", pa.array(prev % seq_len, pa.int64())
+    )
+
+
 def write_training_shards(ds, out_dir: str, n_shards: int = 64,
                           key: str = "doc_id", seed: int = 0,
-                          method: str = "splitmix64") -> list[dict]:
+                          method: str = "splitmix64",
+                          pack_seq_len: int | None = None,
+                          n_tokens_col: str = "n_tokens") -> list[dict]:
     """Shuffle-shard ``ds`` and write one parquet file per shard
     (``part-<shard>.parquet``, rows in shuffle order, written inside the
     single shuffle groupby) plus a driver-side manifest
@@ -123,7 +141,9 @@ def write_training_shards(ds, out_dir: str, n_shards: int = 64,
     docstring) is cleared of stale part files first (a prior export with
     a different n_shards must not leak extra parts into a glob). Atomic
     per shard (tmp+rename) and idempotent: re-running rewrites identical
-    bytes."""
+    bytes. ``pack_seq_len``: also compute GPT-style pack assignments
+    (``pack_id``/``pack_offset`` over ``n_tokens_col``) inside the SAME
+    single exchange before writing — the packed-export form."""
     import pyarrow.parquet as pq
     from pyarrow import fs as pafs
 
@@ -141,6 +161,8 @@ def write_training_shards(ds, out_dir: str, n_shards: int = 64,
         if g.num_rows == 0:
             return pa.table({"shard": pa.array([], pa.int64()),
                              "rows": pa.array([], pa.int64())})
+        if pack_seq_len is not None:
+            g = _pack_table(g, pack_seq_len, n_tokens_col)
         wfs, wbase = _resolve_fs(out_dir)  # runs inside the Ray worker
         shard = int(g["shard"][0].as_py())
         path = f"{wbase}/part-{shard:05d}.parquet"
@@ -169,9 +191,12 @@ def write_training_shards(ds, out_dir: str, n_shards: int = 64,
             # pa.string() broke integer-keyed loaders that glob shards
             # with a unified schema)
             in_schema = ds.schema()
+            extra = [("shard", pa.int64()), ("pos", pa.int64())]
+            if pack_seq_len is not None:
+                extra += [("pack_id", pa.int64()),
+                          ("pack_offset", pa.int64())]
             schema = pa.schema(
-                list(zip(in_schema.names, in_schema.types))
-                + [("shard", pa.int64()), ("pos", pa.int64())]
+                list(zip(in_schema.names, in_schema.types)) + extra
             )
         empty = pa.table({f.name: pa.array([], f.type) for f in schema})
         for s in missing:
@@ -204,17 +229,7 @@ def pack_sequences(ds, seq_len: int, key: str = "doc_id",
     (shard, pos, pack_id, pack_offset); pack_id is unique WITHIN a
     shard — loaders consume one shard each, which is the point."""
 
-    def pack(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return g.append_column(
-                "pack_id", pa.array([], pa.int64())
-            ).append_column("pack_offset", pa.array([], pa.int64()))
-        toks = g[n_tokens_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        prev = np.concatenate(([0], np.cumsum(toks)[:-1]))
-        return g.append_column(
-            "pack_id", pa.array(prev // seq_len, pa.int64())
-        ).append_column(
-            "pack_offset", pa.array(prev % seq_len, pa.int64())
-        )
-
-    return _grouped_shuffle(ds, n_shards, key, seed, method, pack)
+    return _grouped_shuffle(
+        ds, n_shards, key, seed, method,
+        lambda g: _pack_table(g, seq_len, n_tokens_col)
+    )

@@ -618,16 +618,31 @@ def stratified_sample(docs, rates: dict, strata_col: str = "lang",
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def corpus_data_card(docs, text_col: str = "text", lang_col: str = "lang"):
+def corpus_data_card(docs, text_col: str = "text", lang_col: str = "lang",
+                     tokenizer=None):
     """The corpus "data card" a training-mix planner reads: one row per
     language with document, token, and character totals (house
     tokenizer: [a-z0-9]+ runs on lowercased text) plus the mean
     document length in tokens. ONE streaming pass — per-batch partials
     (vectorized Arrow kernels) merged on the driver, no shuffle at all
-    (the key domain is languages; the report pattern of report_lang)."""
+    (the key domain is languages; the report pattern of report_lang).
+
+    ``tokenizer``: an optional trained ``stages.bpe.BPETokenizer`` —
+    when given, the card gains an ``n_bpe_tokens`` column (real subword
+    counts, what a trainer actually consumes; computed in the same
+    streaming pass via a per-worker word-memoized encoder). The default
+    card stays tokenizer-free so its DuckDB oracle row is unchanged."""
     import collections
 
     import pyarrow.compute as pc
+
+    if tokenizer is not None:
+        from .bpe import add_bpe_token_counts
+
+        docs = add_bpe_token_counts(
+            docs.select_columns([lang_col, text_col]), tokenizer,
+            text_col=text_col, out_col="_bpe_n",
+        )
 
     def partial(batch: pa.Table) -> pa.Table:
         low = pc.utf8_lower(batch[text_col])
@@ -643,29 +658,41 @@ def corpus_data_card(docs, text_col: str = "text", lang_col: str = "lang"):
             zero_copy_only=False
         )
         langs = batch[lang_col].to_pylist()
+        bpe = (batch["_bpe_n"].to_numpy(zero_copy_only=False)
+               if "_bpe_n" in batch.column_names else None)
         agg: dict[str, list[int]] = {}
         for i, lg in enumerate(langs):
-            a = agg.setdefault(lg, [0, 0, 0])
+            a = agg.setdefault(lg, [0, 0, 0, 0])
             a[0] += 1
             a[1] += int(n_toks[i])
             a[2] += int(n_chars[i])
+            if bpe is not None:
+                a[3] += int(bpe[i])
         keys = sorted(agg)
-        return pa.table({
+        t = pa.table({
             lang_col: pa.array(keys, pa.string()),
             "p_docs": pa.array([agg[k][0] for k in keys], pa.int64()),
             "p_tokens": pa.array([agg[k][1] for k in keys], pa.int64()),
             "p_chars": pa.array([agg[k][2] for k in keys], pa.int64()),
         })
+        if bpe is not None:
+            t = t.append_column(
+                "p_bpe", pa.array([agg[k][3] for k in keys], pa.int64())
+            )
+        return t
 
-    parts = docs.select_columns([lang_col, text_col]).map_batches(
+    src = docs if tokenizer is not None \
+        else docs.select_columns([lang_col, text_col])
+    parts = src.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()
-    tot: dict[str, list[int]] = collections.defaultdict(lambda: [0, 0, 0])
+    tot: dict[str, list[int]] = collections.defaultdict(lambda: [0, 0, 0, 0])
     for r in parts:
         t = tot[r[lang_col]]
         t[0] += r["p_docs"]
         t[1] += r["p_tokens"]
         t[2] += r["p_chars"]
+        t[3] += r.get("p_bpe", 0)
     import pandas as pd
 
     keys = sorted(tot)
@@ -675,5 +702,7 @@ def corpus_data_card(docs, text_col: str = "text", lang_col: str = "lang"):
         "n_tokens": [tot[k][1] for k in keys],
         "n_chars": [tot[k][2] for k in keys],
     })
+    if tokenizer is not None:
+        df["n_bpe_tokens"] = [tot[k][3] for k in keys]
     df["mean_doc_tokens"] = df["n_tokens"] / df["n_docs"]
     return df
