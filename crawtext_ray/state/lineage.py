@@ -16,6 +16,14 @@ Partition identity = input file index (deterministic from the sorted
 input listing), so a rerun lists lineage files, skips completed input
 files, and only reprocesses the rest — resume cost is the failed
 partitions only.
+
+Storage requirement (BASELINE.md "At 100 TB"): the grouped writers run
+INSIDE Ray workers while the driver lists/reads the same paths, and the
+commit protocol is fsync + atomic rename — on a multi-node cluster
+``out_dir`` must therefore live on a shared POSIX filesystem (NFS /
+fuse-mounted object storage). Single node (this sandbox): any local
+dir. The training-shard sink (stages/shuffle.py) is the URI-capable
+form for direct object-store output.
 """
 
 from __future__ import annotations
