@@ -192,6 +192,22 @@ def run_bench() -> dict:
 
     timed("curate_full_10k", run_curate_full)
 
+    # round-5 operator: from-scratch byte-level BPE — distributed
+    # word-count train + memoized subword counting over the documents
+    # table (the packed-export tokenizer path)
+    from crawtext_ray.stages.bpe import add_bpe_token_counts, train_bpe
+
+    def run_bpe(sf: str):
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        tok = train_bpe(docs, vocab_size=512)
+        return add_bpe_token_counts(docs, tok).map_batches(
+            lambda t: t.select(["doc_id", "n_bpe_tokens"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    timed("bpe_train_count_docs", run_bpe)
+
     probe_after = probe()
 
     out = {
