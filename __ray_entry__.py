@@ -374,14 +374,15 @@ def _q_ann_topk(sf_dir: str):
     probes its own cluster) — and (b) recall vs the exact top-10 meets
     a floor under the measured deterministic values (everything is
     seeded, so recall per sf_dir is a constant, not a distribution).
-    Floors are honest to the methods on THIS corpus: single-probe
-    8-plane sign-LSH over isotropic random embeddings guarantees only
-    self-retrieval (measured 0.1 at every sf — neighbors at cosine ~0.3
-    rarely agree on all 8 signs; the planted-clone regime where LSH
-    recall is total is pinned by ``embedding_dedup``), while IVF at
-    nprobe=4/16 measures 0.3–1.0 across sf0.001/0.01/0.1. The brute
-    pass is O(n·q) with q=3 — the per-batch matmul baseline, cheap at
-    any driver scale, so the bound runs unconditionally."""
+    Floors are honest to the methods on THIS corpus: the LSH path runs
+    multi-probe (Hamming radius 2 → 37/256 bucket patterns, still a
+    ~7x corpus prune) and measures 0.2–0.7 recall across
+    sf0.001/0.01/0.1 (single-probe sign-LSH on isotropic random
+    embeddings only guarantees self-retrieval, measured 0.1; the
+    planted-clone regime where LSH recall is total stays pinned by
+    ``embedding_dedup``), while IVF at nprobe=4/16 measures 0.3–1.0.
+    The brute pass is O(n·q) with q=3 — the per-batch matmul baseline,
+    cheap at any driver scale, so the bound runs unconditionally."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -400,7 +401,7 @@ def _q_ann_topk(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", 3, dtype=np.float32
     )
     dim = queries["matrix"].shape[1]
-    lsh = lsh_bucket_topk(emb, queries, dim=dim, k=10)
+    lsh = lsh_bucket_topk(emb, queries, dim=dim, k=10, multiprobe=2)
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     first = next(pf.iter_batches(batch_size=512, columns=["embedding"]))
     sample = np.asarray(first.column(0).to_pylist(), dtype=np.float32)
@@ -422,7 +423,7 @@ def _q_ann_topk(sf_dir: str):
     exact = brute_force_topk(emb, queries, k=10).to_pandas()
     for qid in queries["query_id"]:
         e = set(exact[exact["query_id"] == qid]["vec_id"])
-        for method, floor in (("lsh", 0.1), ("ivf", 0.3)):
+        for method, floor in (("lsh", 0.2), ("ivf", 0.3)):
             a = set(got[(got["query_id"] == qid)
                         & (got["method"] == method)]["vec_id"])
             assert qid in a, f"{method}: query {qid} failed self-retrieval"

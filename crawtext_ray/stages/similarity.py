@@ -151,18 +151,42 @@ def add_lsh_bucket(ds, dim: int, n_planes: int = 8, seed: int = 11,
     )
 
 
+def _probe_buckets(bucket: int, n_planes: int, multiprobe: int) -> list[int]:
+    """Multi-probe LSH (public knowledge: Lv et al. 2007): the query
+    probes its own bucket plus every bucket within Hamming distance
+    ``multiprobe`` of its sign pattern — near neighbors that disagree
+    with the query on a plane or two land there."""
+    from itertools import combinations
+
+    out = [bucket]
+    for r in range(1, multiprobe + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            out.append(bucket ^ m)
+    return out
+
+
 def lsh_bucket_topk(ds, queries: dict, dim: int, k: int = 10,
                     n_planes: int = 8, seed: int = 11,
-                    id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Approximate top-k: only vectors whose LSH bucket matches the
-    query's bucket are scored. Recall trades off with n_planes; at scale
-    the bucket column doubles as the partition key so each query touches
-    one partition instead of the full corpus."""
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    multiprobe: int = 0):
+    """Approximate top-k: only vectors whose LSH bucket matches one of
+    the query's probed buckets are scored. Recall trades off with
+    n_planes and back up with ``multiprobe`` (Hamming radius of probed
+    buckets: 0 = the classic single-bucket probe; 2 at 8 planes scores
+    37/256 bucket patterns — still a ~7x corpus prune, but neighbors
+    that flip a sign or two are found). At scale the bucket column
+    doubles as the partition key so each query touches its probed
+    partitions instead of the full corpus."""
     bucketed = add_lsh_bucket(ds, dim, n_planes, seed, id_col, vec_col)
     hasher = _LshBucket(dim, n_planes, seed, id_col, vec_col)
     qm = _normalize(np.asarray(queries["matrix"], dtype=np.float32))
     qbuckets = hasher.bucket_of(qm)
-    wanted = {int(b) for b in qbuckets}
+    qprobes = [_probe_buckets(int(b), n_planes, multiprobe)
+               for b in qbuckets]
+    wanted = {b for ps in qprobes for b in ps}
 
     wanted_arr = pa.array(sorted(wanted), pa.int64())
     filtered = bucketed.map_batches(
@@ -172,10 +196,17 @@ def lsh_bucket_topk(ds, queries: dict, dim: int, k: int = 10,
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    # pad the per-query probe lists to one (nq, P) matrix with an
+    # impossible bucket id (-1) so the worker-side mask is one vectorized
+    # any-equality; multiprobe=0 degenerates to the classic single probe
+    max_p = max(len(p) for p in qprobes)
+    probe_mat = np.full((len(qprobes), max_p), -1, dtype=np.int64)
+    for i, ps in enumerate(qprobes):
+        probe_mat[i, :len(ps)] = ps
     q_by_bucket = {
         "query_id": queries["query_id"],
         "matrix": queries["matrix"],
-        "buckets": [int(b) for b in qbuckets],
+        "probes": probe_mat,
     }
     import ray
 
@@ -185,7 +216,7 @@ def lsh_bucket_topk(ds, queries: dict, dim: int, k: int = 10,
         def __init__(self):
             super().__init__(ref, k, id_col, vec_col)
             q = ray.get(ref)
-            self.qbuckets = np.asarray(q["buckets"], dtype=np.int64)
+            self.qprobes = np.asarray(q["probes"], dtype=np.int64)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
@@ -194,8 +225,8 @@ def lsh_bucket_topk(ds, queries: dict, dim: int, k: int = 10,
             m = _normalize(_to_matrix(batch[vec_col]))
             vb = np.asarray(batch["lsh_bucket"].to_numpy(), dtype=np.int64)
             sims = self.qm @ m.T
-            # mask out vectors from other buckets per query
-            mask = self.qbuckets[:, None] == vb[None, :]
+            # mask out vectors from buckets no probe of the query hits
+            mask = (self.qprobes[:, :, None] == vb[None, None, :]).any(axis=1)
             sims = np.where(mask, sims, -2.0)
             kk = min(k, sims.shape[1])
             out_q, out_id, out_sim = [], [], []
