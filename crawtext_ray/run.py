@@ -77,6 +77,11 @@ def main(argv: list[str] | None = None) -> int:
                          "seq-len windows) into the shards")
     ap.add_argument("--seq-len", type=int, default=2048,
                     help="pack window length for --bpe-vocab (tokens)")
+    ap.add_argument("--bpe-ids", action="store_true",
+                    help="with --bpe-vocab: also write the encoded "
+                         "token-id sequence (bpe_ids, list<int32>) into "
+                         "each shard row - the directly loader-"
+                         "consumable tokenized export")
     args = ap.parse_args(argv)
 
     if args.bpe_vocab is not None:
@@ -89,6 +94,9 @@ def main(argv: list[str] | None = None) -> int:
             print("error: --bpe-vocab requires --export-shards",
                   file=sys.stderr)
             return 2
+    if args.bpe_ids and args.bpe_vocab is None:
+        print("error: --bpe-ids requires --bpe-vocab", file=sys.stderr)
+        return 2
 
     lang_rates = None
     if args.lang_rates:
@@ -222,6 +230,11 @@ def main(argv: list[str] | None = None) -> int:
                                 vocab_size=args.bpe_vocab)
                 articles = add_bpe_token_counts(
                     articles, tok, text_col="extracted_text")
+                if args.bpe_ids:
+                    from crawtext_ray.stages.bpe import bpe_encode_docs
+
+                    articles = bpe_encode_docs(
+                        articles, tok, text_col="extracted_text")
                 pack_kwargs = {"pack_seq_len": args.seq_len,
                                "n_tokens_col": "n_bpe_tokens"}
             manifest = write_training_shards(

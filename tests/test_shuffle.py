@@ -252,3 +252,45 @@ def test_write_training_shards_file_uri(ray_session, tmp_path):
     for a, b in zip(m1, m2):
         assert a["shard"] == b["shard"] and a["rows"] == b["rows"]
         assert pq.read_table(a["path"]).equals(pq.read_table(b["path"]))
+
+
+def test_packed_tokenized_export_over_articles(ray_session, pages_small,
+                                               tmp_path):
+    """The --bpe-vocab/--bpe-ids export shape: train BPE on extracted
+    articles, write shards carrying real subword counts, encoded id
+    sequences (list<int32> through the shard groupby), and pack
+    assignments computed inside the same single exchange."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawtext_ray.pipelines.flagship import run_extract_job
+    from crawtext_ray.stages.bpe import (
+        add_bpe_token_counts,
+        bpe_encode_docs,
+        train_bpe,
+    )
+    from crawtext_ray.stages.shuffle import write_training_shards
+
+    out = str(tmp_path / "arts")
+    run_extract_job(pages_small, out, num_partitions=4)
+    articles = rd.read_parquet(out, file_extensions=["parquet"])
+    tok = train_bpe(articles, text_col="extracted_text", vocab_size=300)
+    articles = add_bpe_token_counts(articles, tok,
+                                    text_col="extracted_text")
+    articles = bpe_encode_docs(articles, tok, text_col="extracted_text")
+    manifest = write_training_shards(
+        articles, str(tmp_path / "shards"), n_shards=4, key="url",
+        method="md5", pack_seq_len=128, n_tokens_col="n_bpe_tokens")
+    assert sum(m["rows"] for m in manifest) == articles.count()
+    t = pq.read_table(manifest[0]["path"]).to_pandas()
+    assert len(t) > 0
+    # ids round-trip the text and agree with the counts
+    for _, r in t.head(5).iterrows():
+        assert len(r["bpe_ids"]) == r["n_bpe_tokens"]
+        assert tok.decode(list(r["bpe_ids"])) == r["extracted_text"]
+    # pack assignment == exclusive cumsum over the shard's hash order
+    t = t.sort_values("pos")
+    prev = np.concatenate(([0], np.cumsum(t["n_bpe_tokens"])[:-1]))
+    assert (t["pack_id"].to_numpy() == prev // 128).all()
+    assert (t["pack_offset"].to_numpy() == prev % 128).all()
