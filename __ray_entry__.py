@@ -68,15 +68,14 @@ def _q_extract_articles(sf_dir: str):
     frozen golden corpus (no SQL can re-derive the extractor) — but
     SELF-CHECKING since r5: the pipeline runs TWICE and the query
     asserts per-url byte-identity of the extracted text across runs
-    (sha256 per row, compared pairwise, plus an order-independent
-    corpus XOR — the determinism witness). The emitted ``text_sha``
-    column also makes the driver's value-hash pin the extracted BYTES
-    across rounds, not just the metadata columns. Scale shape: hashes
-    are computed inside map_batches, so full text never reaches the
-    driver."""
+    (sha256 per row, compared pairwise — the determinism witness; this
+    subsumes any order-independent corpus checksum). The emitted
+    ``text_sha`` column also makes the driver's value-hash pin the
+    extracted BYTES across rounds, not just the metadata columns.
+    Scale shape: hashes are computed inside map_batches, so full text
+    never reaches the driver."""
     import hashlib
 
-    import numpy as np
     import pyarrow as pa
 
     from crawtext_ray.pipelines.flagship import build_articles
@@ -102,13 +101,6 @@ def _q_extract_articles(sf_dir: str):
                                 zero_copy_batch=True).to_pandas()
 
     a, b = run_once(), run_once()
-
-    def corpus_xor(df):
-        return np.bitwise_xor.reduce(np.array(
-            [int(s, 16) for s in df["text_sha"]], dtype=np.uint64
-        )) if len(df) else np.uint64(0)
-
-    assert corpus_xor(a) == corpus_xor(b), "corpus XOR differs across reruns"
     pa_, pb_ = (d.set_index("url")["text_sha"].sort_index() for d in (a, b))
     assert pa_.equals(pb_), "per-url extracted bytes differ across reruns"
     return a

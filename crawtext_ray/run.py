@@ -94,6 +94,9 @@ def main(argv: list[str] | None = None) -> int:
             print("error: --bpe-vocab requires --export-shards",
                   file=sys.stderr)
             return 2
+        if args.seq_len < 1:
+            print("error: --seq-len must be >= 1", file=sys.stderr)
+            return 2
     if args.bpe_ids and args.bpe_vocab is None:
         print("error: --bpe-ids requires --bpe-vocab", file=sys.stderr)
         return 2
@@ -226,15 +229,21 @@ def main(argv: list[str] | None = None) -> int:
                     train_bpe,
                 )
 
-                tok = train_bpe(articles, text_col="extracted_text",
-                                vocab_size=args.bpe_vocab)
-                articles = add_bpe_token_counts(
-                    articles, tok, text_col="extracted_text")
+                import ray as _ray
+
+                tok_ref = _ray.put(train_bpe(
+                    articles, text_col="extracted_text",
+                    vocab_size=args.bpe_vocab))
                 if args.bpe_ids:
+                    # ONE tokenization pass emits both ids and counts
                     from crawtext_ray.stages.bpe import bpe_encode_docs
 
                     articles = bpe_encode_docs(
-                        articles, tok, text_col="extracted_text")
+                        articles, tok_ref, text_col="extracted_text",
+                        with_counts=True)
+                else:
+                    articles = add_bpe_token_counts(
+                        articles, tok_ref, text_col="extracted_text")
                 pack_kwargs = {"pack_seq_len": args.seq_len,
                                "n_tokens_col": "n_bpe_tokens"}
             manifest = write_training_shards(

@@ -68,15 +68,24 @@ def _merge_word(sym: tuple, pair: tuple, merged: bytes) -> tuple:
 def train_merges(word_counts: dict[str, int], n_merges: int,
                  min_count: int = 2) -> list[tuple[bytes, bytes]]:
     """The BPE merge loop over a bounded (word, count) dict — pure
-    driver-side compute, no corpus access. Maintains a pair→words
-    index so each merge touches only the words containing the pair.
-    Tie-break: highest weighted count, then smallest pair bytes."""
+    driver-side compute, no corpus access. A pair→words index makes
+    each merge touch only the words containing the pair, and selection
+    pops a LAZY max-heap (entries re-pushed on every count change,
+    stale ones discarded at pop) instead of rescanning every distinct
+    pair per merge — so a large-vocab train is O(updates · log) rather
+    than O(merges × distinct pairs). Tie-break: highest weighted count,
+    then smallest pair bytes (the heap key (-count, pair) orders
+    identically to the naive argmin, so the lazy heap is
+    selection-for-selection equal to the reference trainer)."""
+    import heapq
+
     words = [tuple(bytes([b]) for b in w.encode("utf-8"))
              for w in word_counts]
     counts = list(word_counts.values())
 
     pair_count: dict = defaultdict(int)
     pair_words: dict = defaultdict(set)
+    heap: list[tuple[int, tuple[bytes, bytes]]] = []
 
     def index_word(i: int, sign: int) -> None:
         w, c = words[i], counts[i] * sign
@@ -89,17 +98,19 @@ def train_merges(word_counts: dict[str, int], n_merges: int,
                 if pair_count[p] <= 0:
                     pair_count.pop(p, None)
                 pair_words.get(p, set()).discard(i)
+        for p in set(zip(w, w[1:])):
+            n = pair_count.get(p, 0)
+            if n >= min_count:
+                heapq.heappush(heap, (-n, p))
 
     for i in range(len(words)):
         index_word(i, +1)
 
     merges: list[tuple[bytes, bytes]] = []
-    for _ in range(n_merges):
-        if not pair_count:
-            break
-        pair = min(pair_count.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pair_count[pair] < min_count:
-            break
+    while len(merges) < n_merges and heap:
+        negn, pair = heapq.heappop(heap)
+        if pair_count.get(pair, 0) != -negn:
+            continue  # stale entry (count changed since the push)
         merges.append(pair)
         merged = pair[0] + pair[1]
         for i in list(pair_words.get(pair, ())):
@@ -191,15 +202,18 @@ def train_bpe(ds, text_col: str = "text", vocab_size: int = 512,
         emit, batch_format="pyarrow", zero_copy_batch=True
     ).groupby("w").aggregate(Sum("n", alias_name="n"))
 
-    # stream the aggregate into a bounded top-N heap; (n, reversed-order
-    # word) keying keeps the LARGEST counts and, on count ties, the
-    # lexicographically SMALLEST words — matching the sort the merge
-    # loop's determinism contract documents
+    # stream the aggregate into a bounded top-N heap; the key keeps the
+    # LARGEST counts and, on count ties, the lexicographically SMALLEST
+    # words — byte values are negated AND a sentinel (1, greater than
+    # any negated byte) terminates the tuple so a PREFIX word ("ab")
+    # also outranks its extensions ("abc"), completing the word-asc
+    # order at the truncation boundary
     heap: list[tuple[int, tuple, str]] = []
     truncated = False
     for b in counts.iter_batches(batch_format="pyarrow"):
         for w, n in zip(b["w"].to_pylist(), b["n"].to_pylist()):
-            key = (int(n), tuple(-x for x in w.encode("utf-8")), w)
+            key = (int(n),
+                   tuple(-x for x in w.encode("utf-8")) + (1,), w)
             if len(heap) < max_distinct_words:
                 heapq.heappush(heap, key)
             else:
@@ -212,12 +226,21 @@ def train_bpe(ds, text_col: str = "text", vocab_size: int = 512,
     return BPETokenizer(merges, truncated=truncated)
 
 
+# per-worker memo caps: web-scale text has an effectively unbounded
+# distinct-word-piece set (urls, typos, non-ASCII runs), so the caches
+# clear wholesale at a size bound — amortized hit rate stays high (hot
+# pieces re-enter immediately) and worker RSS stays bounded for the
+# process lifetime that fused() pins the cache to
+_COUNT_CACHE_CAP = 2_000_000
+_IDS_CACHE_CAP = 500_000
+
+
 def add_bpe_token_counts(ds, tokenizer, text_col: str = "text",
                          out_col: str = "n_bpe_tokens"):
     """Append the real subword token count per document — what a
     pretraining loader actually consumes (feed ``out_col`` to
     ``pack_sequences(n_tokens_col=...)``). The tokenizer broadcasts
-    once; each worker memoizes per distinct word piece."""
+    once; each worker memoizes per distinct word piece (bounded)."""
     import ray
 
     ref = tokenizer if isinstance(tokenizer, ray.ObjectRef) \
@@ -230,6 +253,8 @@ def add_bpe_token_counts(ds, tokenizer, text_col: str = "text",
         cache: dict[str, int] = {}
 
         def fn(batch: pa.Table) -> pa.Table:
+            if len(cache) > _COUNT_CACHE_CAP:
+                cache.clear()
             counts = []
             for t in batch[text_col].to_pylist():
                 n = 0
@@ -250,9 +275,12 @@ def add_bpe_token_counts(ds, tokenizer, text_col: str = "text",
 
 
 def bpe_encode_docs(ds, tokenizer, text_col: str = "text",
-                    out_col: str = "bpe_ids"):
+                    out_col: str = "bpe_ids", with_counts: bool = False):
     """Full encode: append the token-id sequence (list<int32>) per
-    document — the materialized form a tokenized-shard export writes."""
+    document — the materialized form a tokenized-shard export writes.
+    ``with_counts=True`` also emits ``n_bpe_tokens`` from the SAME
+    encode pass (one tokenization, one broadcast — the --bpe-ids CLI
+    path, instead of stacking this on add_bpe_token_counts)."""
     import ray
 
     ref = tokenizer if isinstance(tokenizer, ray.ObjectRef) \
@@ -265,11 +293,19 @@ def bpe_encode_docs(ds, tokenizer, text_col: str = "text",
         cache: dict[str, list[int]] = {}
 
         def fn(batch: pa.Table) -> pa.Table:
+            if len(cache) > _IDS_CACHE_CAP:
+                cache.clear()
             ids = [tok.encode(t, _cache=cache)
                    for t in batch[text_col].to_pylist()]
-            return batch.append_column(
+            out = batch.append_column(
                 out_col, pa.array(ids, pa.list_(pa.int32()))
             )
+            if with_counts:
+                out = out.append_column(
+                    "n_bpe_tokens",
+                    pa.array([len(x) for x in ids], pa.int64()),
+                )
+            return out
 
         return fn
 

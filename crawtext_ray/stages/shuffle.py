@@ -101,14 +101,16 @@ def shuffle_shards(ds, n_shards: int = 64, key: str = "doc_id",
 
 
 def _resolve_fs(out_dir: str):
-    """(filesystem, path) for a plain local path or a ``scheme://`` URI
-    (``pyarrow.fs.FileSystem.from_uri``). See the module docstring for
-    the multi-node shared-filesystem caveat on plain paths."""
+    """(filesystem, fs-internal path, scheme|None) for a plain local
+    path or a ``scheme://`` URI (``pyarrow.fs.FileSystem.from_uri``).
+    See the module docstring for the multi-node shared-filesystem
+    caveat on plain paths."""
     from pyarrow import fs as pafs
 
     if "://" in out_dir:
-        return pafs.FileSystem.from_uri(out_dir)
-    return pafs.LocalFileSystem(), out_dir
+        fs, path = pafs.FileSystem.from_uri(out_dir)
+        return fs, path, out_dir.split("://", 1)[0]
+    return pafs.LocalFileSystem(), out_dir, None
 
 
 def _pack_table(g: pa.Table, seq_len: int, n_tokens_col: str) -> pa.Table:
@@ -147,7 +149,11 @@ def write_training_shards(ds, out_dir: str, n_shards: int = 64,
     import pyarrow.parquet as pq
     from pyarrow import fs as pafs
 
-    fs, base = _resolve_fs(out_dir)
+    fs, base, scheme = _resolve_fs(out_dir)
+    # manifest paths keep the caller's scheme so consumers can open them
+    # directly (pyarrow resolves "scheme://path" URIs); plain local
+    # paths stay plain
+    public = (lambda p: f"{scheme}://{p}") if scheme else (lambda p: p)
     fs.create_dir(base, recursive=True)
     sel = pafs.FileSelector(base, allow_not_found=True)
     for info in fs.get_file_info(sel):
@@ -163,7 +169,7 @@ def write_training_shards(ds, out_dir: str, n_shards: int = 64,
                              "rows": pa.array([], pa.int64())})
         if pack_seq_len is not None:
             g = _pack_table(g, pack_seq_len, n_tokens_col)
-        wfs, wbase = _resolve_fs(out_dir)  # runs inside the Ray worker
+        wfs, wbase, _ = _resolve_fs(out_dir)  # runs inside the Ray worker
         shard = int(g["shard"][0].as_py())
         path = f"{wbase}/part-{shard:05d}.parquet"
         pq.write_table(g, path + ".tmp", filesystem=wfs)
@@ -205,7 +211,8 @@ def write_training_shards(ds, out_dir: str, n_shards: int = 64,
             fs.move(path + ".tmp", path)
             recs[s] = 0
     return [
-        {"shard": s, "rows": recs[s], "path": f"{base}/part-{s:05d}.parquet"}
+        {"shard": s, "rows": recs[s],
+         "path": public(f"{base}/part-{s:05d}.parquet")}
         for s in range(n_shards)
     ]
 
