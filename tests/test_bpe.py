@@ -216,3 +216,21 @@ def test_vocab_size_floor():
 
         from crawtext_ray.stages.bpe import train_bpe
         train_bpe(None, vocab_size=100)
+
+
+def test_bpe_round_trip_property():
+    """Property test: ANY text byte-round-trips through a trained
+    tokenizer (byte-level BPE can never lose information), and the
+    pretokenizer partitions every input exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tok = BPETokenizer(train_merges(corpus_word_counts(CORPUS), 40))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=200))
+    def check(t):
+        assert "".join(pretokenize(t)) == t
+        assert tok.decode(tok.encode(t)) == t
+
+    check()
