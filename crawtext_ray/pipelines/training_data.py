@@ -296,6 +296,8 @@ def curate(
     rates: dict | None = None,
     dedup_paras: bool = False,
     para_min_chars: int = 30,
+    dsir_target=None,
+    dsir_keep: float = 0.25,
 ):
     """Full curation chain; returns the curated articles Dataset (written
     to ``out_dir`` when given). ``verify_dups``: exact-Jaccard threshold
@@ -314,7 +316,13 @@ def curate(
     boilerplate removal) applied to the checkpointed corpus — every
     paragraph of >= ``para_min_chars`` chars keeps one occurrence
     corpus-wide; n_words and content_sha256 are recomputed so the
-    downstream exact dedup sees the cleaned text."""
+    downstream exact dedup sees the cleaned text. ``dsir_target``:
+    optional target-domain corpus (Dataset with a ``text`` column or
+    list[str]) — after dedup, keep the top ``dsir_keep`` fraction of
+    documents by DSIR importance weight (target-vs-corpus unigram LMs;
+    stages.textops.dsir_select); runs in the sampling family with
+    ``rates``, after dedup so duplicate survival is unbiased, and adds
+    a ``dsir_logw`` column to the output."""
     arts = build_articles(
         pages_path,
         query_expression=query_expression,
@@ -430,6 +438,20 @@ def curate(
                         model_docs=lm_model_docs)
     deduped = drop_exact_dups(gated)
     curated = drop_near_dups(deduped, verify_threshold=verify_dups)
+    if dsir_target is not None:
+        import ray.data as rd
+
+        from ..stages.textops import dsir_select
+
+        target = (rd.from_items([{"text": t} for t in dsir_target])
+                  if isinstance(dsir_target, (list, tuple))
+                  else dsir_target)
+        # two streaming passes (threshold histogram + filter) — both over
+        # the dedup chain's broadcast/Bloom probes against the parquet
+        # checkpoint, never extraction
+        curated = dsir_select(curated, target, keep_frac=dsir_keep,
+                              text_col="extracted_text",
+                              target_text_col="text")
     if rates is not None:
         from ..stages.textops import stratified_sample
 

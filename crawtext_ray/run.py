@@ -53,6 +53,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="--curate per-language quota sampling applied "
                          "after dedup, e.g. 'en=0.3,fr=1.0' (unlisted "
                          "languages keep rate 1.0)")
+    ap.add_argument("--dsir-from", default=None, metavar="PATH",
+                    help="with --curate: target-domain corpus (parquet "
+                         "dir/file with a 'text' column, or plain text, "
+                         "one doc per line) - keep the top --dsir-keep "
+                         "fraction of curated docs by DSIR importance "
+                         "weight (target-vs-corpus unigram LMs)")
+    ap.add_argument("--dsir-keep", type=float, default=0.25,
+                    help="fraction kept by --dsir-from (default 0.25)")
     ap.add_argument("--dedup-paragraphs", action="store_true",
                     help="--curate corpus-wide paragraph-level exact "
                          "dedup (C4/Dolma boilerplate removal: every "
@@ -99,6 +107,12 @@ def main(argv: list[str] | None = None) -> int:
             return 2
     if args.bpe_ids and args.bpe_vocab is None:
         print("error: --bpe-ids requires --bpe-vocab", file=sys.stderr)
+        return 2
+    if args.dsir_from and not args.curate:
+        print("error: --dsir-from requires --curate", file=sys.stderr)
+        return 2
+    if not 0.0 < args.dsir_keep <= 1.0:
+        print("error: --dsir-keep must be in (0, 1]", file=sys.stderr)
         return 2
 
     lang_rates = None
@@ -157,11 +171,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.curate:
             from crawtext_ray.pipelines.training_data import curate
 
-            benchmark = None
-            if args.decontaminate_from:
+            def load_docs_arg(p: str, flag: str):
+                """Parquet dir / parquet file / plain-text file (one doc
+                per line) → Dataset or list[str]; shared by the
+                decontamination and DSIR corpus flags."""
                 import glob as _glob
 
-                p = args.decontaminate_from
                 if os.path.isdir(p):
                     # accept nested layouts (train/, test/ subdirs)
                     pq_files = sorted(_glob.glob(
@@ -169,8 +184,8 @@ def main(argv: list[str] | None = None) -> int:
                     ))
                     if not pq_files:
                         print(
-                            f"--decontaminate-from: no *.parquet under "
-                            f"{p!r} (a directory must hold the eval set "
+                            f"{flag}: no *.parquet under "
+                            f"{p!r} (a directory must hold the corpus "
                             "as parquet; for plain text pass a file, "
                             "one document per line)",
                             file=sys.stderr,
@@ -178,14 +193,21 @@ def main(argv: list[str] | None = None) -> int:
                         raise SystemExit(2)
                     import ray.data as rd
 
-                    benchmark = rd.read_parquet(pq_files)
-                elif p.endswith(".parquet"):
+                    return rd.read_parquet(pq_files)
+                if p.endswith(".parquet"):
                     import ray.data as rd
 
-                    benchmark = rd.read_parquet(p)
-                else:
-                    with open(p) as f:
-                        benchmark = [ln for ln in f.read().splitlines() if ln]
+                    return rd.read_parquet(p)
+                with open(p) as f:
+                    return [ln for ln in f.read().splitlines() if ln]
+
+            benchmark = None
+            if args.decontaminate_from:
+                benchmark = load_docs_arg(args.decontaminate_from,
+                                          "--decontaminate-from")
+            dsir_target = None
+            if args.dsir_from:
+                dsir_target = load_docs_arg(args.dsir_from, "--dsir-from")
 
             # task-fused stages throughout: no pool sizing, no
             # multi-pool starvation (stages share the CPU pool naturally)
@@ -202,6 +224,8 @@ def main(argv: list[str] | None = None) -> int:
                 max_nll=args.max_nll,
                 rates=lang_rates,
                 dedup_paras=args.dedup_paragraphs,
+                dsir_target=dsir_target,
+                dsir_keep=args.dsir_keep,
             )
             print(json.dumps({"out_dir": args.out, "rows": curated.count()}))
         else:

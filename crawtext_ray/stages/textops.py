@@ -573,6 +573,116 @@ def lm_gate(ds, max_nll: float, text_col: str = "text",
     return map_stage(ds, factory)
 
 
+def dsir_weights(ds, target_docs, text_col: str = "text",
+                 background_docs=None, vocab_size: int = 10_000,
+                 alpha: float = 0.5, out_col: str = "dsir_logw",
+                 target_text_col: str | None = None):
+    """DSIR-shape importance weights (public knowledge: Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling" — the n-gram/unigram proxy-LM variant): per-document
+    log importance weight = mean token cross-entropy under the
+    BACKGROUND model minus under the TARGET model
+    (``logw = nll_bg − nll_target``; positive = the document looks
+    more like the target distribution than like the background).
+    Both models are the house map-side-trained Lidstone unigram LMs
+    (the CCNet/LM-gate machinery reused), broadcast once; the
+    background defaults to the corpus itself. ``target_text_col``
+    names the target corpus's text column when it differs from the
+    scored corpus's (e.g. curated ``extracted_text`` vs a reference
+    table's ``text``). Appends ``out_col`` (float64) streaming — no
+    shuffle, two broadcast probes per batch."""
+    import ray
+
+    from .fusion import map_stage
+
+    tgt_ref, tgt_oov = _train_unigram_lm(
+        target_docs, target_text_col or text_col, vocab_size, alpha)
+    bg = background_docs if background_docs is not None else ds
+    bg_ref, bg_oov = _train_unigram_lm(bg, text_col, vocab_size, alpha)
+
+    def factory():
+        tv, tl = ray.get(tgt_ref)
+        bv, bl = ray.get(bg_ref)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.append_column(
+                    out_col, pa.array([], pa.float64()))
+            _, nll_t = _batch_nll(batch, text_col, tv, tl, tgt_oov)
+            _, nll_b = _batch_nll(batch, text_col, bv, bl, bg_oov)
+            return batch.append_column(
+                out_col, pa.array(nll_b - nll_t, pa.float64()))
+
+        return fn
+
+    return map_stage(ds, factory)
+
+
+def dsir_select(ds, target_docs, keep_frac: float = 0.25,
+                text_col: str = "text", background_docs=None,
+                vocab_size: int = 10_000, alpha: float = 0.5,
+                n_bins: int = 2048, clip: float = 20.0,
+                target_text_col: str | None = None):
+    """Keep (approximately) the top ``keep_frac`` of documents by DSIR
+    importance weight — the data-selection form of ``dsir_weights``.
+
+    Scale shape: the threshold comes from a map-side HISTOGRAM of
+    log-weights (``n_bins`` fixed bins over [−clip, clip], per-batch
+    int64 partials merged on the driver — O(bins) driver memory, no
+    sort, no shuffle), then selection is a vectorized per-batch filter
+    ``logw >= threshold``. Histogram granularity makes the kept
+    fraction approximate to one bin of probability mass (an exact
+    fraction would need a global sort); with 2048 bins over ±20 nats a
+    bin is ~0.02 nats wide. Two streaming passes over ``ds`` (weights
+    are recomputed on the filter pass), so pass a materialized /
+    checkpointed dataset, the curate-chain convention. Deterministic
+    given the corpus. Returns the input rows + ``dsir_logw``."""
+    import numpy as np
+
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError("keep_frac must be in (0, 1]")
+    weighted = dsir_weights(ds, target_docs, text_col=text_col,
+                            background_docs=background_docs,
+                            vocab_size=vocab_size, alpha=alpha,
+                            target_text_col=target_text_col)
+
+    edges = np.linspace(-clip, clip, n_bins + 1)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        w = np.clip(batch["dsir_logw"].to_numpy(zero_copy_only=False),
+                    -clip, clip)
+        counts, _ = np.histogram(w, bins=edges)
+        return pa.table({"bin": pa.array(np.arange(n_bins), pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    totals = np.zeros(n_bins, dtype=np.int64)
+    for r in weighted.map_batches(hist_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all():
+        totals[r["bin"]] += r["n"]
+    total = int(totals.sum())
+    if total == 0:
+        return weighted
+    # walk bins from the top until >= keep_frac of the mass is covered;
+    # the threshold is that bin's LOWER edge (so the kept fraction errs
+    # toward keeping one extra bin of mass, never silently under-keeping)
+    wanted = keep_frac * total
+    acc = 0
+    thr = edges[0]
+    for b in range(n_bins - 1, -1, -1):
+        acc += totals[b]
+        if acc >= wanted:
+            thr = edges[b]
+            break
+
+    import pyarrow.compute as pc
+
+    return weighted.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["dsir_logw"], pa.scalar(float(thr)))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def stratified_sample(docs, rates: dict, strata_col: str = "lang",
                       id_col: str = "doc_id",
                       default_rate: float = 1.0,

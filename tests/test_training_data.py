@@ -629,3 +629,71 @@ def test_curate_paragraph_dedup_drops_hollowed_docs(ray_session, tmp_path):
     assert any(unique in (x or "") for x in out["extracted_text"])
     # fewer docs than inputs: at least one hollowed doc was dropped
     assert len(out) < 3
+
+
+def test_dsir_weights_differential_vs_lm_scores(ray_session):
+    """dsir_logw == nll(background model) - nll(target model), where
+    both sides are computed independently by unigram_lm_scores with
+    model_docs — the two operators share kernels but walk different
+    code paths to the per-doc score."""
+    import numpy as np
+    import ray.data as rd
+
+    from crawtext_ray.stages.textops import dsir_weights, unigram_lm_scores
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+    target = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                             columns=["doc_id", "text"]).limit(50).materialize()
+
+    got = dsir_weights(docs, target, vocab_size=500).to_pandas() \
+        .set_index("doc_id")["dsir_logw"]
+    nll_t = unigram_lm_scores(docs, vocab_size=500, model_docs=target) \
+        .to_pandas().set_index("doc_id")["nll"]
+    nll_b = unigram_lm_scores(docs, vocab_size=500) \
+        .to_pandas().set_index("doc_id")["nll"]
+    exp = (nll_b - nll_t).reindex(got.index)
+    assert np.allclose(got.to_numpy(), exp.to_numpy(), atol=1e-12)
+
+
+def test_dsir_select_planted_target(ray_session):
+    """A corpus mixing target-like documents with off-distribution
+    gibberish: dsir_select(keep_frac) keeps the target-like ones
+    preferentially, the kept fraction lands near keep_frac, and the
+    selection is deterministic across runs."""
+    import numpy as np
+    import ray.data as rd
+
+    from crawtext_ray.stages.textops import dsir_select
+
+    rng = np.random.default_rng(5)
+    target_vocab = ("science research method data result model theory "
+                    "experiment evidence analysis study measure").split()
+    noise_vocab = ["zq" + "".join(rng.choice(list("bcdfgx"), 4))
+                   for _ in range(400)]
+
+    def sentence(vocab, n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    target = rd.from_items(
+        [{"doc_id": 10_000 + i, "text": sentence(target_vocab, 40)}
+         for i in range(60)]).materialize()
+    corpus_rows = (
+        [{"doc_id": i, "text": sentence(target_vocab, 40), "kind": "t"}
+         for i in range(100)]
+        + [{"doc_id": 1000 + i, "text": sentence(noise_vocab, 40),
+            "kind": "n"} for i in range(300)]
+    )
+    corpus = rd.from_items(corpus_rows).materialize()
+
+    kept = dsir_select(corpus, target, keep_frac=0.25,
+                       vocab_size=500).to_pandas()
+    frac = len(kept) / len(corpus_rows)
+    assert 0.2 <= frac <= 0.35  # one-histogram-bin tolerance
+    # selection is dominated by target-like docs
+    assert (kept["kind"] == "t").mean() > 0.9
+    assert set(kept.columns) >= {"doc_id", "text", "kind", "dsir_logw"}
+    # deterministic
+    kept2 = dsir_select(corpus, target, keep_frac=0.25,
+                        vocab_size=500).to_pandas()
+    assert sorted(kept2["doc_id"]) == sorted(kept["doc_id"])
